@@ -1,0 +1,243 @@
+"""NLOS pose datasets + host input pipeline.
+
+Re-design of the reference's torch Datasets as plain indexable sources plus a
+threaded, device-prefetching batch pipeline (the torch DataLoader's 8 worker
+processes (`train.py:121-122`) become a thread pool — the decode work is
+NumPy/cv2 which releases the GIL).
+
+Sources:
+* :class:`NlosPoseSource` — pose_XX/{train,val,test}/{meas,vol,joints} walk
+  (`utils/nlos_pose_dataloader.py:21-150`), with the corrupt-file fallback
+  policy (black/unreadable .hdr → sample 0, logged to wrongMeasFiles.txt,
+  :75-107) and the optional noise model of the `_noise` variant.
+* :class:`NlosFlatSource` — flat-directory variant with .npy volumes
+  (`utils/nlos_dataloader.py:19-122`).
+* :class:`SyntheticSource` — deterministic synthetic generator for CI.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from hiddenpose_tpu.config import Config
+from hiddenpose_tpu.data import preprocess as pp
+from hiddenpose_tpu.data import synthetic
+
+
+class NlosPoseSource:
+    """Indexable (meas, vol, joints, person_id) source over pose_v2 layout."""
+
+    def __init__(self, cfg: Config, datapath: str,
+                 wrong_files_log: str = "wrongMeasFiles.txt"):
+        self.cfg = cfg
+        self.downsample_cnt = cfg.dataset.downsample_cnt
+        self.noise = cfg.dataset.noise
+        self.noise_sigma = cfg.dataset.noise_gaussian_sigma
+        self.vol_size = cfg.dataset.vol_size[0]
+        self.heatmap_size = cfg.dataset.heatmap_size[0]
+        self.wrong_files_log = wrong_files_log
+        phase = cfg.dataset.phase
+
+        self.meas_files: List[str] = []
+        self.vol_files: List[str] = []
+        self.joints_files: List[str] = []
+        for pose_name in sorted(os.listdir(datapath)):
+            pose_path = os.path.join(datapath, pose_name)
+            if not os.path.isdir(pose_path):
+                continue
+            for split in sorted(os.listdir(pose_path)):
+                if phase not in split:
+                    continue
+                split_path = os.path.join(pose_path, split)
+                meas_dir = os.path.join(split_path, "meas")
+                vol_dir = os.path.join(split_path, "vol")
+                joints_dir = os.path.join(split_path, "joints")
+                for name in sorted(os.listdir(meas_dir)):
+                    stem, ext = os.path.splitext(name)
+                    assert ext == ".hdr", f"expected .hdr, got {name}"
+                    vol_f = os.path.join(vol_dir, stem + ".mat")
+                    joints_f = os.path.join(joints_dir, stem + ".joints")
+                    assert os.path.isfile(vol_f), f"missing vol {vol_f}"
+                    assert os.path.isfile(joints_f), f"missing joints {joints_f}"
+                    self.meas_files.append(os.path.join(meas_dir, name))
+                    self.vol_files.append(vol_f)
+                    self.joints_files.append(joints_f)
+
+    def __len__(self) -> int:
+        return len(self.meas_files)
+
+    def _load_vol(self, path: str) -> np.ndarray:
+        return pp.load_vol_mat(path)
+
+    def _decode(self, meas_file: str) -> np.ndarray:
+        gray = pp.decode_hdr_gray(meas_file)
+        if self.noise:
+            # noise variant order: gray → blur+poisson → /max
+            # (nlos_pose_dataloader_noise.py:89-93)
+            noised = pp.add_noise(gray, self.noise_sigma)
+            return noised / max(noised.max(), 1e-12)
+        return gray
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        meas_file = self.meas_files[index]
+        joints_file = self.joints_files[index]
+        try:
+            gray = self._decode(meas_file)
+        except Exception:
+            # Fallback-to-sample-0 policy (nlos_pose_dataloader.py:88-107).
+            with open(self.wrong_files_log, "a") as f:
+                f.write(meas_file + "\n")
+            meas_file = self.meas_files[0]
+            joints_file = self.joints_files[0]
+            gray = self._decode(meas_file)
+
+        meas = pp.preprocess_measurement(gray, self.downsample_cnt)
+        vol = pp.downsample_volume(
+            self._load_vol(self.vol_files[index]), self.downsample_cnt
+        )
+        joints = pp.map_joints_to_heatmap(
+            np.loadtxt(joints_file),
+            vol_size=self.vol_size, heatmap_size=self.heatmap_size,
+        )
+        person_id = os.path.splitext(os.path.basename(meas_file))[0]
+        return {
+            "meas": meas[None].astype(np.float32),
+            "vol": vol[None].astype(np.float32),
+            "joints": joints.astype(np.float32),
+            "person_id": person_id,
+        }
+
+
+class NlosFlatSource(NlosPoseSource):
+    """Flat-directory variant: {meas/*.hdr, vol/*.npy, joints/*.joints}
+    (`utils/nlos_dataloader.py:19-122`)."""
+
+    def __init__(self, cfg: Config, datapath: str, **kw):
+        self.cfg = cfg
+        self.downsample_cnt = cfg.dataset.downsample_cnt
+        self.noise = cfg.dataset.noise
+        self.noise_sigma = cfg.dataset.noise_gaussian_sigma
+        self.vol_size = cfg.dataset.vol_size[0]
+        self.heatmap_size = cfg.dataset.heatmap_size[0]
+        self.wrong_files_log = kw.get("wrong_files_log", "wrongMeasFiles.txt")
+
+        meas_dir = os.path.join(datapath, "meas")
+        self.meas_files = [
+            os.path.join(meas_dir, n) for n in sorted(os.listdir(meas_dir))
+        ]
+        self.vol_files = [
+            f.replace("meas", "vol").rsplit(".", 1)[0] + ".npy"
+            for f in self.meas_files
+        ]
+        self.joints_files = [
+            f.replace("meas", "joints").rsplit(".", 1)[0] + ".joints"
+            for f in self.meas_files
+        ]
+
+    def _load_vol(self, path):
+        return np.load(path).astype(np.float32)
+
+
+class SyntheticSource:
+    """Deterministic synthetic dataset for CI / benchmarking."""
+
+    def __init__(self, cfg: Config, length: int = 16, seed: int = 410):
+        m = cfg.model
+        self.length = length
+        self.seed = seed
+        self.kw = dict(
+            time_size=m.time_size,
+            image_size=m.image_size[0],
+            grid=m.grid_dim,
+            heatmap_size=m.heatmap_size[0],
+            bin_len=m.bin_len,
+        )
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return synthetic.make_sample(self.seed + index, **self.kw)
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack samples into the train-step batch dict (joints flattened to
+    (B, J*3) as `utils/train_epoch.py:39-40` does, all-ones visibility)."""
+    b = len(samples)
+    joints = np.stack([s["joints"] for s in samples]).reshape(b, -1)
+    return {
+        "meas": np.stack([s["meas"] for s in samples]),
+        "vol": np.stack([s["vol"] for s in samples]),
+        "joints": joints.astype(np.float32),
+        "joints_vis": np.ones_like(joints, dtype=np.float32),
+        "person_id": [s["person_id"] for s in samples],
+    }
+
+
+class DataPipeline:
+    """Shuffling, batching, thread-prefetching iterator.
+
+    Equivalent role to DataLoader(bs, shuffle=True, num_workers=8,
+    pin_memory=True) at `train.py:121-122`; `prefetch` batches are decoded
+    ahead by a thread pool while the device computes.
+    """
+
+    def __init__(self, source, batch_size: int, shuffle: bool = True,
+                 seed: int = 410, num_workers: int = 8, prefetch: int = 2,
+                 drop_last: bool = True):
+        self.source = source
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, 1)
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.source)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.source))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        nb = len(self)
+        return [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(nb)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        self.epoch += 1
+        # Two pools: batch assemblers must not share workers with sample
+        # decoders, or the assemblers' waits starve the decode tasks they
+        # depend on (executor self-deadlock).
+        with cf.ThreadPoolExecutor(
+            max_workers=self.num_workers
+        ) as sample_pool, cf.ThreadPoolExecutor(
+            max_workers=self.prefetch
+        ) as batch_pool:
+            def load(batch_idx):
+                return collate(
+                    list(sample_pool.map(self.source.__getitem__, batch_idx))
+                )
+
+            pending = []
+            it = iter(batches)
+            for _ in range(self.prefetch):
+                try:
+                    pending.append(batch_pool.submit(load, next(it)))
+                except StopIteration:
+                    break
+            while pending:
+                fut = pending.pop(0)
+                try:
+                    pending.append(batch_pool.submit(load, next(it)))
+                except StopIteration:
+                    pass
+                yield fut.result()

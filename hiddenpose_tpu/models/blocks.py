@@ -1,0 +1,153 @@
+"""Shared 3D NN building blocks (flax.linen, channels-last NDHWC).
+
+All volumetric modules in this framework run channels-last — the layout the
+TPU convolution engine wants — whereas the reference is NCDHW throughout.
+Conversion happens once at the model boundary (see `models/nlospose.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def edge_pad3d(x: jax.Array, pad: int = 1) -> jax.Array:
+    """Replication padding on the three spatial axes of (B, D, H, W, C).
+
+    XLA has no native replication-pad fused into conv, so this is an explicit
+    `jnp.pad(mode='edge')` that XLA fuses with the consumer
+    (reference: `nn.ReplicationPad3d`, `models/ops.py:12,20`).
+    """
+    p = ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0))
+    return jnp.pad(x, p, mode="edge")
+
+
+def _interp_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) linear-interpolation matrix with align_corners=True.
+
+    Used to express trilinear upsampling as three axis matmuls — MXU-friendly
+    and bit-matching `nn.Upsample(mode='trilinear', align_corners=True)`
+    (`unet/unet3d.py:47`).
+    """
+    if n_in == 1:
+        return np.ones((n_out, 1), dtype=np.float32)
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / max(n_out - 1, 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    hi = np.clip(lo + 1, 0, n_in - 1)
+    w_hi = pos - lo
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    mat[np.arange(n_out), lo] += 1.0 - w_hi
+    mat[np.arange(n_out), hi] += w_hi
+    return mat.astype(np.float32)
+
+
+def resize_trilinear(x: jax.Array, out_dhw: Tuple[int, int, int]) -> jax.Array:
+    """Trilinear resize (align_corners=True) of (B, D, H, W, C) volumes.
+
+    Implemented as three per-axis interpolation matmuls so the work lands on
+    the MXU instead of gather units.
+    """
+    b, d, h, w, c = x.shape
+    od, oh, ow = out_dhw
+    md = jnp.asarray(_interp_matrix_align_corners(d, od))
+    mh = jnp.asarray(_interp_matrix_align_corners(h, oh))
+    mw = jnp.asarray(_interp_matrix_align_corners(w, ow))
+    x = jnp.einsum("Dd,bdhwc->bDhwc", md, x, preferred_element_type=x.dtype)
+    x = jnp.einsum("Hh,bdhwc->bdHwc", mh, x, preferred_element_type=x.dtype)
+    x = jnp.einsum("Ww,bdhwc->bdhWc", mw, x, preferred_element_type=x.dtype)
+    return x
+
+
+def max_pool3d(x: jax.Array, window: int, stride: int, pad: int = 0) -> jax.Array:
+    """3D max pool over (B, D, H, W, C)."""
+    padding = ((pad, pad),) * 3
+    return nn.max_pool(
+        x, (window,) * 3, strides=(stride,) * 3, padding=padding
+    )
+
+
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+kaiming_out_normal = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ResConv3D(nn.Module):
+    """Residual block: 2 x (edge-pad + conv k3) with LeakyReLU(0.2).
+
+    Reference: `models/ops.py:7-38` / `models/feature_extraction.py:228-256`.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = edge_pad3d(x, 1)
+        h = nn.Conv(
+            self.features, (3, 3, 3), padding="VALID", dtype=self.dtype,
+            name="conv1",
+        )(h)
+        h = nn.leaky_relu(h, negative_slope=0.2)
+        h = edge_pad3d(h, 1)
+        h = nn.Conv(
+            self.features, (3, 3, 3), padding="VALID", dtype=self.dtype,
+            name="conv2",
+        )(h)
+        return nn.leaky_relu(h + x, negative_slope=0.2)
+
+
+def corner_mask_init(key, shape, dtype=jnp.float32):
+    """The fixed-branch kernel of FeatureExtraction: ones in the far corner
+    octant of a 3^3 kernel, normalised to unit sum — these init values matter
+    for parity (`models/feature_extraction.py:141-145`).
+
+    shape: (3, 3, 3, in, out) DHWIO.
+    """
+    w = np.zeros(shape, dtype=np.float32)
+    w[1:, 1:, 1:] = 1.0
+    w /= w.sum()
+    return jnp.asarray(w, dtype=dtype)
+
+
+class FeatureExtraction(nn.Module):
+    """Dual-branch learned 3D downsampler.
+
+    Learned branch: edge-pad + conv k3 (stride s) + 2 x ResConv3D.
+    Fixed-init branch: one conv k3 with the corner-mask kernel (a learnable
+    parameter), zero padding, same stride; branches are summed (the fixed
+    branch has 1 output channel and broadcasts over ``basedim``).
+
+    Reference: `models/feature_extraction.py:122-171`.
+    """
+
+    basedim: int = 1
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, D, H, W, 1)
+        s = (self.stride,) * 3
+        h = edge_pad3d(x, 1)
+        h = nn.Conv(
+            self.basedim, (3, 3, 3), strides=s, padding="VALID",
+            dtype=self.dtype, name="conv_in",
+        )(h)
+        h = ResConv3D(self.basedim, dtype=self.dtype, name="res1")(h)
+        h = ResConv3D(self.basedim, dtype=self.dtype, name="res2")(h)
+
+        corner = self.param(
+            "corner_kernel", corner_mask_init, (3, 3, 3, x.shape[-1], 1)
+        )
+        h2 = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            corner.astype(self.dtype),
+            window_strides=s,
+            padding=((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return h + h2

@@ -1,0 +1,175 @@
+"""3D ResNet-50 pose backbone + 3D deconvolution head (channels-last).
+
+Re-design of `/root/reference/models/posenet3d_50.py:26-318`:
+Kinetics-style 3D ResNet (Bottleneck [3,4,6,3], widths [64,128,256,512],
+conv1 k7 stride 1, maxpool k3 s2, stages 2-4 stride 2) followed by a
+DeconvHead of 3 stride-2 transposed convs (256 filters, k4) and a 1x1x1 conv
+to ``num_joints`` heatmap channels.  128^3 input -> (64^3, num_joints) output.
+
+Initialisation parity notes (posenet3d_50.py:138-147, 207-214): every Conv3d
+(including the head's final conv — the reference's global init loop runs after
+head construction) is kaiming-normal fan_out; ConvTranspose3d keeps
+normal(std=0.001); BatchNorm scale 1 / bias 0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hiddenpose_tpu.models.blocks import kaiming_out_normal, max_pool3d
+
+Dtype = Any
+
+deconv_init = nn.initializers.normal(stddev=0.001)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    use_projection: bool = False
+    dtype: Dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k,) * 3, strides=(s,) * 3, padding="SAME", use_bias=False,
+            kernel_init=kaiming_out_normal, dtype=self.dtype, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+
+        residual = x
+        out = nn.relu(bn("bn1")(conv(self.planes, 1, 1, "conv1")(x)))
+        out = nn.relu(bn("bn2")(conv(self.planes, 3, self.stride, "conv2")(out)))
+        out = bn("bn3")(conv(self.planes * self.expansion, 1, 1, "conv3")(out))
+
+        if self.use_projection:
+            residual = bn("bn_proj")(
+                conv(self.planes * self.expansion, 1, self.stride, "conv_proj")(x)
+            )
+        return nn.relu(out + residual)
+
+
+class BasicBlock(nn.Module):
+    """ResNet-18/34 variant block (`posenet3d_50.py:26-56`)."""
+
+    planes: int
+    stride: int = 1
+    use_projection: bool = False
+    dtype: Dtype = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k,) * 3, strides=(s,) * 3, padding="SAME", use_bias=False,
+            kernel_init=kaiming_out_normal, dtype=self.dtype, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        residual = x
+        out = nn.relu(bn("bn1")(conv(self.planes, 3, self.stride, "conv1")(x)))
+        out = bn("bn2")(conv(self.planes, 3, 1, "conv2")(out))
+        if self.use_projection:
+            residual = bn("bn_proj")(
+                conv(self.planes, 1, self.stride, "conv_proj")(x)
+            )
+        return nn.relu(out + residual)
+
+
+class DeconvHead(nn.Module):
+    """3 x (ConvTranspose k4 s2 + BN + ReLU) then 1x1x1 conv to joints.
+
+    Reference: `posenet3d_50.py:98-153` with (2048, 3, 256, 4, 1, 24).
+    """
+
+    num_layers: int = 3
+    num_filters: int = 256
+    num_joints: int = 24
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.num_layers):
+            x = nn.ConvTranspose(
+                self.num_filters, (4, 4, 4), strides=(2, 2, 2), padding="SAME",
+                use_bias=False, kernel_init=deconv_init, dtype=self.dtype,
+                name=f"deconv{i + 1}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"bn{i + 1}",
+            )(x)
+            x = nn.relu(x)
+        return nn.Conv(
+            self.num_joints, (1, 1, 1), use_bias=True,
+            kernel_init=kaiming_out_normal, dtype=self.dtype, name="final",
+        )(x)
+
+
+class PoseNet3D(nn.Module):
+    """generate_model(50) + DeconvHead (`posenet3d_50.py:156-318`)."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    inplanes: Sequence[int] = (64, 128, 256, 512)
+    block: str = "bottleneck"  # 'bottleneck' (depth>=50) | 'basic'
+    widen_factor: float = 1.0
+    conv1_t_size: int = 7
+    conv1_t_stride: int = 1
+    no_max_pool: bool = False
+    num_joints: int = 24
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # (B, D, H, W, C)
+        widths = [int(w * self.widen_factor) for w in self.inplanes]
+        block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
+        expansion = 4 if self.block == "bottleneck" else 1
+
+        x = nn.Conv(
+            widths[0],
+            (self.conv1_t_size, 7, 7),
+            strides=(self.conv1_t_stride, 1, 1),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=kaiming_out_normal,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        if not self.no_max_pool:
+            x = max_pool3d(x, 3, 2, pad=1)
+
+        in_planes = widths[0]
+        for stage, (planes, blocks) in enumerate(zip(widths, self.layers)):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                proj = b == 0 and (s != 1 or in_planes != planes * expansion)
+                x = block_cls(
+                    planes=planes, stride=s, use_projection=proj,
+                    dtype=self.dtype, name=f"layer{stage + 1}_{b}",
+                )(x, train=train)
+                in_planes = planes * expansion
+
+        return DeconvHead(
+            num_joints=self.num_joints, dtype=self.dtype, name="head"
+        )(x, train=train)
+
+
+def get_pose_net_50(num_joints: int = 24, dtype=jnp.float32) -> PoseNet3D:
+    """Matches `get_pose_net_50()` (`posenet3d_50.py:294-318`)."""
+    return PoseNet3D(num_joints=num_joints, dtype=dtype)

@@ -1,0 +1,7 @@
+from hiddenpose_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)

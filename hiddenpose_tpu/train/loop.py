@@ -1,0 +1,182 @@
+"""Training driver: the epoch loop.
+
+Re-design of `/root/reference/train.py:97-229` + `utils/train_epoch.py:11-104`
+as a function over (Config, data source):
+
+* seed 410 determinism (`train.py:98`)
+* Adam + MultiStep schedule incl. the step-before-epoch quirk (see
+  `train/optim.py`)
+* jitted, batch-sharded train step (gradient all-reduce via jit autodiff)
+* scalar logging every `log_every` iters; visual artifacts via `viz/`
+* per-epoch and per-10000-iter checkpoints; `continue_train` resume
+* wall-clock epoch/ETA prints matching `train.py:207-208`
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+from hiddenpose_tpu.config import Config
+from hiddenpose_tpu.data.dataset import DataPipeline, SyntheticSource
+from hiddenpose_tpu.models.nlospose import build_nlospose
+from hiddenpose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from hiddenpose_tpu.train import checkpoint as ckpt
+from hiddenpose_tpu.train.optim import make_optimizer
+from hiddenpose_tpu.train.state import TrainState
+from hiddenpose_tpu.train.step import make_train_step
+from hiddenpose_tpu.utils.logging import MetricWriter, create_logger
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    last_metrics: dict
+    epochs_run: int
+
+
+def _device_batch(batch, mesh):
+    data = {k: v for k, v in batch.items() if k != "person_id"}
+    if mesh is not None:
+        return shard_batch(mesh, data)
+    return data
+
+
+def train(
+    cfg: Config,
+    source=None,
+    workdir: str = "./checkpoints",
+    resume_from: Optional[str] = None,
+    log_every: int = 100,
+    ckpt_every_iters: int = 10000,
+    max_steps_per_epoch: Optional[int] = None,
+    use_mesh: bool = True,
+    viz_every: Optional[int] = None,
+) -> TrainResult:
+    logger = create_logger(cfg.log_dir, phase=cfg.phase)
+    writer = MetricWriter(cfg.log_dir)
+
+    model, lct = build_nlospose(cfg.model)
+    if source is None:
+        source = SyntheticSource(cfg, length=8)
+    pipeline = DataPipeline(
+        source,
+        batch_size=cfg.train.batch_size,
+        shuffle=True,
+        seed=cfg.train.seed,
+        num_workers=cfg.num_workers,
+    )
+    steps_per_epoch = max_steps_per_epoch or len(pipeline)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    example = next(iter(pipeline))
+    variables = model.init(
+        rng, jax.numpy.asarray(example["meas"][:1]), lct, train=False
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    logger.info(f"Total number of parameters: {n_params}")
+
+    tx = make_optimizer(cfg.train, steps_per_epoch=steps_per_epoch)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    begin_epoch = cfg.train.begin_epoch
+    global_iter = 0
+    if cfg.phase == "continue_train" or resume_from:
+        path = resume_from or ckpt.latest_checkpoint(workdir)
+        if path:
+            state, epoch, global_iter = ckpt.restore_checkpoint(path, state)
+            begin_epoch = epoch + 1
+            logger.info(f"resumed from {path} at epoch {begin_epoch}")
+
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        state = replicate(mesh, state)
+        lct = replicate(mesh, lct)
+        logger.info(f"data-parallel mesh over {mesh.devices.size} devices")
+
+    train_step = make_train_step(model)
+
+    begin_time = time.time()
+    metrics = {}
+    epochs_run = 0
+    loss_window = []
+    for epoch in range(begin_epoch, cfg.train.end_epoch):
+        epoch_begin = time.time()
+        for step, batch in enumerate(pipeline):
+            if step >= steps_per_epoch:
+                break
+            state, metrics = train_step(state, _device_batch(batch, mesh), lct)
+            global_iter += 1
+            loss_window.append(float(metrics["loss"]))
+
+            if global_iter % log_every == 0:
+                mean_loss = float(np.mean(loss_window))
+                loss_window.clear()
+                writer.scalar("Train Loss", mean_loss, global_iter)
+                writer.scalar(
+                    "joint_loss", float(metrics["joint_loss"]), global_iter
+                )
+                writer.scalar(
+                    "voxel_loss", float(metrics["voxel_loss"]), global_iter
+                )
+                logger.info(
+                    f"iter {global_iter} loss {mean_loss:.5f} "
+                    f"({time.time() - begin_time:.1f}s elapsed)"
+                )
+
+            if viz_every and global_iter % viz_every == 0:
+                _log_visuals(cfg, model, state, batch, lct, global_iter)
+
+            if ckpt_every_iters and global_iter % ckpt_every_iters == 0:
+                ckpt.save_checkpoint(
+                    workdir, jax.device_get(state), epoch, global_iter,
+                    name=f"iter_{global_iter}",
+                )
+
+        ckpt.save_checkpoint(workdir, jax.device_get(state), epoch, global_iter)
+        epochs_run += 1
+        epoch_time = time.time() - epoch_begin
+        left_h = epoch_time * (cfg.train.end_epoch - epoch - 1) / 3600
+        logger.info(f"epoch {epoch} used {epoch_time:.1f}s, left {left_h:.2f}h")
+
+    writer.close()
+    return TrainResult(state=state, last_metrics=metrics, epochs_run=epochs_run)
+
+
+def _log_visuals(cfg, model, state, batch, lct, global_iter):
+    """Dump projection/skeleton artifacts like `utils/train_epoch.py:49-72`."""
+    try:
+        from hiddenpose_tpu.ops.softargmax import softmax_integral
+        from hiddenpose_tpu.viz.visualizer import (
+            joints_log,
+            threeviews_log,
+            volume_log,
+        )
+
+        heatmaps, refine = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jax.numpy.asarray(batch["meas"]), lct, train=False,
+        )
+        out_dir = os.path.join(cfg.result_dir, "figure")
+        vol = np.asarray(batch["vol"])
+        volume_log(vol, os.path.join(out_dir, "volume"),
+                   f"volume_{global_iter}")
+        threeviews_log(np.asarray(refine), os.path.join(out_dir, "threeviews"),
+                       f"feature_{global_iter}")
+        preds = softmax_integral(heatmaps, cfg.model.num_joints)
+        joints_log(np.asarray(preds[0]).reshape(-1, 3),
+                   os.path.join(out_dir, "joints"),
+                   f"pred_joints_{global_iter}")
+        joints_log(np.asarray(batch["joints"][0]).reshape(-1, 3),
+                   os.path.join(out_dir, "joints"),
+                   f"gt_joints_{global_iter}")
+    except Exception as e:  # pragma: no cover - viz is best-effort
+        import logging
+
+        logging.getLogger("hiddenpose").warning(f"viz failed: {e}")

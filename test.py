@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Evaluation entry point.
+
+CLI-compatible re-design of `/root/reference/test.py`: three modes via
+``--test {test_pose_v2, test_realdata, test_fk}`` (`test.py:119-242`),
+restoring a checkpoint and emitting joints/threeviews artifacts.  Additionally
+reports MPJPE on test_pose_v2 (the reference logs predictions only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="HiddenPose-TPU evaluation")
+    p.add_argument("--model", type=str,
+                   default="./checkpoints",
+                   help="checkpoint path or directory")
+    p.add_argument("--test", type=str, default="test_pose_v2",
+                   help="test_realdata | test_pose_v2 | test_fk")
+    p.add_argument("--log", type=str, default="./log")
+    p.add_argument("--data", type=str, default="")
+    p.add_argument("--device", type=int, default=0)
+    p.add_argument("--out", type=str, default="./test_results")
+    p.add_argument("--synthetic", action="store_true",
+                   help="evaluate on the synthetic generator")
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--max-batches", type=int, default=None)
+    return p.parse_args()
+
+
+def _load_state(args, cfg, model, lct):
+    import jax
+    import jax.numpy as jnp
+
+    from hiddenpose_tpu.train import checkpoint as ckpt
+    from hiddenpose_tpu.train.optim import make_optimizer
+    from hiddenpose_tpu.train.state import TrainState
+
+    s = cfg.model.time_size
+    variables = model.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        jnp.zeros((1, 1, s, cfg.model.image_size[0], cfg.model.image_size[1])),
+        lct, train=False,
+    )
+    tx = make_optimizer(cfg.train)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    path = args.model
+    if os.path.isdir(path):
+        path = ckpt.latest_checkpoint(path)
+    if path and os.path.exists(path):
+        state, epoch, _ = ckpt.restore_checkpoint(path, state)
+        print(f"restored {path} (epoch {epoch})")
+    else:
+        print("WARNING: no checkpoint found — evaluating random init")
+    return state
+
+
+def main():
+    args = parse_args()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hiddenpose_tpu.config import t128_config
+    from hiddenpose_tpu.data.dataset import (
+        DataPipeline, NlosPoseSource, SyntheticSource,
+    )
+    from hiddenpose_tpu.data.preprocess import (
+        load_fk_measurement, load_realdata,
+    )
+    from hiddenpose_tpu.eval.metrics import mpjpe
+    from hiddenpose_tpu.models.nlospose import build_nlospose
+    from hiddenpose_tpu.train.step import make_eval_step
+    from hiddenpose_tpu.viz.visualizer import joints_log, threeviews_log
+
+    cfg = t128_config() if args.size == 128 else t128_config().tiny(args.size)
+    cfg = dataclasses.replace(
+        cfg, phase="test",
+        dataset=dataclasses.replace(
+            cfg.dataset, phase="test",
+            test_path=args.data or cfg.dataset.test_path,
+        ),
+    )
+    model, lct = build_nlospose(cfg.model)
+    state = _load_state(args, cfg, model, lct)
+    eval_step = make_eval_step(model)
+
+    os.makedirs(args.out, exist_ok=True)
+    joints_dir = os.path.join(args.out, "joints")
+    views_dir = os.path.join(args.out, "threeviews")
+
+    def run_single(meas_thw: np.ndarray, name: str):
+        """One raw measurement (T, H, W) → joints + artifacts
+        (test.py:187-202 path, without the batch-repeat x2 hack)."""
+        batch = {"meas": jnp.asarray(meas_thw[None, None].astype(np.float32))}
+        out = eval_step(state, batch, lct)
+        preds = np.asarray(out["pred_joints"][0]).reshape(-1, 3)
+        threeviews_log(np.asarray(out["refine"]), views_dir, f"feature_{name}")
+        joints_log(preds, joints_dir, f"pred_joints_{name}")
+        print(f"{name}: joints span "
+              f"{preds.min(0).round(1)}..{preds.max(0).round(1)}")
+
+    if args.test == "test_realdata":
+        files = (
+            [args.data] if args.data.endswith(".mat")
+            else [os.path.join(args.data, f) for f in sorted(os.listdir(args.data))
+                  if f.endswith(".mat")]
+        )
+        for f in files:
+            meas = load_realdata(f)
+            run_single(meas, os.path.splitext(os.path.basename(f))[0])
+
+    elif args.test == "test_fk":
+        files = [os.path.join(args.data, f) for f in sorted(os.listdir(args.data))
+                 if f.endswith(".mat")]
+        for f in files:
+            meas = load_fk_measurement(f)
+            run_single(meas, os.path.splitext(os.path.basename(f))[0])
+
+    else:  # test_pose_v2
+        if args.synthetic or not os.path.isdir(cfg.dataset.test_path):
+            source = SyntheticSource(cfg, length=8)
+            print("using synthetic test source")
+        else:
+            source = NlosPoseSource(cfg, cfg.dataset.test_path)
+        pipe = DataPipeline(
+            source, batch_size=cfg.test_batch_size, shuffle=False,
+            num_workers=cfg.num_workers,
+        )
+        errs = []
+        for bi, batch in enumerate(pipe):
+            if args.max_batches and bi >= args.max_batches:
+                break
+            data = {k: jnp.asarray(v) for k, v in batch.items()
+                    if k != "person_id"}
+            out = eval_step(state, data, lct)
+            preds = np.asarray(out["pred_joints"])
+            errs.append(mpjpe(preds, batch["joints"]))
+            for i, pid in enumerate(batch["person_id"]):
+                joints_log(preds[i].reshape(-1, 3), joints_dir, f"preds_{pid}")
+                joints_log(batch["joints"][i].reshape(-1, 3), joints_dir,
+                           f"gt_{pid}")
+        if errs:
+            print(f"MPJPE (heatmap voxels): {np.mean(errs):.4f} over "
+                  f"{len(errs)} batches")
+
+    print("finished")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY §4 plan):
+DP sharding layout, gradient-psum correctness vs single device, and the
+driver's dryrun_multichip path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from hiddenpose_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_shard_batch_places_batch_axis():
+    mesh = make_mesh()
+    batch = {"x": np.arange(8 * 4, dtype=np.float32).reshape(8, 4)}
+    sharded = shard_batch(mesh, batch)
+    s = sharded["x"].sharding
+    assert s.spec == P("data")
+    # Each device holds exactly one row.
+    shard_shapes = {sh.data.shape for sh in sharded["x"].addressable_shards}
+    assert shard_shapes == {(1, 4)}
+
+
+def test_dp_gradient_matches_single_device():
+    """jit-sharded gradient over the mesh == single-device gradient."""
+    mesh = make_mesh()
+    rng = np.random.RandomState(0)
+    w = rng.randn(4, 3).astype(np.float32)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randn(8, 3).astype(np.float32)
+
+    def loss(w, x, y):
+        return jnp.mean((x @ w - y) ** 2)
+
+    g_single = jax.grad(loss)(w, x, y)
+
+    w_r = replicate(mesh, jnp.asarray(w))
+    x_s = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    y_s = jax.device_put(jnp.asarray(y), batch_sharding(mesh))
+    g_sharded = jax.jit(jax.grad(loss))(w_r, x_s, y_s)
+
+    np.testing.assert_allclose(
+        np.asarray(g_single), np.asarray(g_sharded), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_lct_batch_sharded():
+    """LCT runs under batch sharding with replicated constants."""
+    from hiddenpose_tpu.ops.lct import lct_apply, make_lct_params
+
+    mesh = make_mesh()
+    params = make_lct_params(8, 8, 0.04)
+    params_r = replicate(mesh, params)
+    meas = np.random.RandomState(1).rand(8, 8, 8, 8).astype(np.float32)
+    meas_s = jax.device_put(jnp.asarray(meas), batch_sharding(mesh))
+
+    out_sharded = jax.jit(lct_apply)(meas_s, params_r)
+    out_single = lct_apply(jnp.asarray(meas), params)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_single), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
