@@ -72,11 +72,34 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
 
     cfg = default_config().preset_t128() if size == 128 else \
         default_config().tiny(size)
+    if os.environ.get("HP_BENCH_DTYPE", "") in ("bf16", "bfloat16"):
+        cfg = cfg.with_bf16()
+
+    if mode == "sformer":
+        # NlosPoseSformer on a real-data-shaped video volume
+        # (BASELINE config[3]: rotary attention path).
+        import jax.numpy as jnp
+
+        from hiddenpose_tpu.models.sformer import sformer_from_config
+
+        m = sformer_from_config(cfg.model)
+        video = jnp.asarray(
+            rng.rand(batch, cfg.model.num_frames, cfg.model.in_channels,
+                     size, size).astype(np.float32)
+        )
+        params = m.init(jax.random.PRNGKey(0), video)
+        f = jax.jit(lambda v: m.apply(params, v))
+        sec = _timeit(lambda: f(video), iters)
+        return dict(metric=f"sformer_{size}^2xf{cfg.model.num_frames}_b{batch}",
+                    sec_per_iter=sec, volumes_per_sec=batch / sec)
+
     model, lct = build_nlospose(cfg.model)
     meas = jnp.asarray(
         rng.rand(batch, 1, size, size, size).astype(np.float32)
     )
-    variables = model.init(jax.random.PRNGKey(410), meas[:1], lct, train=False)
+    variables = jax.jit(
+        lambda r, m: model.init(r, m, lct, train=False)
+    )(jax.random.PRNGKey(410), meas[:1])
 
     if mode == "train":
         tx = make_optimizer(cfg.train, steps_per_epoch=1)
@@ -97,8 +120,55 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
         return dict(metric=f"train_step_{size}^3_b{batch}", sec_per_iter=sec,
                     volumes_per_sec=batch / sec)
 
+    if mode == "stages":
+        # Per-stage breakdown of the forward (diagnostic; prints to stderr).
+        from hiddenpose_tpu.models.blocks import FeatureExtraction
+        from hiddenpose_tpu.models.posenet3d import PoseNet3D
+        from hiddenpose_tpu.models.unet3d import UNet3d
+        from hiddenpose_tpu.ops.normalize import normalize_feature_last
+        import jax.numpy as jnp
+
+        x_last = jnp.transpose(meas, (0, 2, 3, 4, 1))
+        dtype = jnp.dtype(cfg.model.compute_dtype)
+        # Params are input-size independent: init jitted on a small dummy so
+        # the three inits don't dominate (eager init at 128^3 dispatches
+        # thousands of tiny ops through the device relay).
+        small = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
+        fe = FeatureExtraction(basedim=cfg.model.basedim, stride=1, dtype=dtype)
+        fe_v = jax.jit(fe.init)(jax.random.PRNGKey(0), small)
+        un = UNet3d(in_channels=1, n_channels=4, dtype=dtype)
+        un_v = jax.jit(un.init)(jax.random.PRNGKey(0), small)
+        pn = PoseNet3D(num_joints=24, dtype=dtype)
+        pn_v = jax.jit(
+            lambda r, x: pn.init(r, x, train=False)
+        )(jax.random.PRNGKey(0), small)
+
+        flat = meas.reshape(batch, size, size, size)
+        stages = {
+            "feature_extraction": jax.jit(lambda: fe.apply(fe_v, x_last)),
+            "lct": jax.jit(lambda: lct_apply(flat, lct)),
+            "normalize": jax.jit(lambda: normalize_feature_last(x_last)),
+            "unet3d": jax.jit(lambda: un.apply(un_v, x_last)),
+            "posenet3d": jax.jit(
+                lambda: pn.apply(pn_v, x_last, train=False)
+            ),
+        }
+        out = {}
+        for name, f in stages.items():
+            sec = _timeit(f, iters)
+            out[name] = sec
+            print(f"  {name}: {sec * 1000:.2f} ms", file=sys.stderr)
+        total = sum(out.values())
+        return dict(metric=f"stages_{size}^3_b{batch}", sec_per_iter=total,
+                    volumes_per_sec=batch / total)
+
     forward = make_forward(model)
-    sec = _timeit(lambda: forward(variables, meas, lct)[0], iters)
+    profile_dir = os.environ.get("HP_BENCH_PROFILE", "")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            sec = _timeit(lambda: forward(variables, meas, lct)[0], iters)
+    else:
+        sec = _timeit(lambda: forward(variables, meas, lct)[0], iters)
     return dict(metric=f"nlospose_infer_{size}^3_b{batch}", sec_per_iter=sec,
                 volumes_per_sec=batch / sec)
 

@@ -115,6 +115,12 @@ class Config:
     valid_batch_size: int = 1
     num_workers: int = 8
 
+    def with_bf16(self) -> "Config":
+        """Mixed precision: conv/matmul compute in bfloat16 (MXU-native),
+        params + normalisation statistics + LCT physics + soft-argmax in
+        float32.  No reference equivalent (reference is fp32-only)."""
+        return replace(self, model=replace(self.model, compute_dtype="bfloat16"))
+
     def preset_t128(self) -> "Config":
         """The live training configuration (`train.py:77-86`).
 

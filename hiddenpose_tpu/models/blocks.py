@@ -76,6 +76,54 @@ kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal
 kaiming_out_normal = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class SmartConv3D(nn.Module):
+    """Stride-1 SAME 3D conv that auto-selects a space-to-depth lowering.
+
+    XLA's TPU conv runs one matmul per kernel tap with C_in as the MXU
+    contraction dim; for the low-channel volumes of this pipeline (C_in
+    1-8 at 128^3) that is catastrophically inefficient (measured: the
+    posenet stem conv7^3 C1→64 at 3 TFLOP/s = 63 ms).  When profitable
+    (small C_in, even spatial dims, cubic odd kernel) this module runs the
+    algebraically identical s2d form (`ops/space_to_depth.py`).  Param tree
+    matches `nn.Conv` ('kernel', 'bias').
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+    s2d_max_cin: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from hiddenpose_tpu.ops.space_to_depth import conv3d_s2d
+
+        k = self.kernel_size
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, k, c_in, self.features)
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        even = all(d % 2 == 0 for d in x.shape[1:4])
+        if c_in <= self.s2d_max_cin and even and k % 2 == 1:
+            y = conv3d_s2d(x, kernel)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            )
+        y = y.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ResConv3D(nn.Module):
     """Residual block: 2 x (edge-pad + conv k3) with LeakyReLU(0.2).
 

@@ -38,8 +38,7 @@ class BasicBlock2D(nn.Module):
             kernel_init=init_001, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name,
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
         )
         residual = x
         out = nn.relu(bn("bn1")(conv(self.planes, 3, self.stride, "conv1")(x)))
@@ -65,8 +64,7 @@ class Bottleneck2D(nn.Module):
             kernel_init=init_001, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name,
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
         )
         residual = x
         out = nn.relu(bn("bn1")(conv(self.planes, 1, 1, "conv1")(x)))
@@ -95,7 +93,7 @@ class ResNetBackbone2D(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
                     kernel_init=init_001, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+                         epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -135,7 +133,7 @@ class DeconvHead2D(nn.Module):
                 name=f"deconv{i + 1}",
             )(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype, name=f"bn{i + 1}")(x)
+                             epsilon=1e-5, name=f"bn{i + 1}")(x)
             x = nn.relu(x)
         return nn.Conv(
             self.num_joints * self.depth_dim, (1, 1), use_bias=True,

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hiddenpose_tpu.models.blocks import kaiming_out_normal, max_pool3d
+from hiddenpose_tpu.models.blocks import (
+    SmartConv3D,
+    kaiming_out_normal,
+    max_pool3d,
+)
 
 Dtype = Any
 
@@ -33,16 +37,17 @@ class Bottleneck(nn.Module):
     use_projection: bool = False
     dtype: Dtype = jnp.float32
     expansion: int = 4
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x):
+        train = self.train
         conv = lambda f, k, s, name: nn.Conv(
             f, (k,) * 3, strides=(s,) * 3, padding="SAME", use_bias=False,
             kernel_init=kaiming_out_normal, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name,
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
         )
 
         residual = x
@@ -65,16 +70,17 @@ class BasicBlock(nn.Module):
     use_projection: bool = False
     dtype: Dtype = jnp.float32
     expansion: int = 1
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x):
+        train = self.train
         conv = lambda f, k, s, name: nn.Conv(
             f, (k,) * 3, strides=(s,) * 3, padding="SAME", use_bias=False,
             kernel_init=kaiming_out_normal, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name,
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
         )
         residual = x
         out = nn.relu(bn("bn1")(conv(self.planes, 3, self.stride, "conv1")(x)))
@@ -106,14 +112,59 @@ class DeconvHead(nn.Module):
                 name=f"deconv{i + 1}",
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"bn{i + 1}",
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i + 1}",
             )(x)
             x = nn.relu(x)
         return nn.Conv(
             self.num_joints, (1, 1, 1), use_bias=True,
             kernel_init=kaiming_out_normal, dtype=self.dtype, name="final",
         )(x)
+
+
+class StemS2D(nn.Module):
+    """Fused stem: conv7^3 (C_in→features) + BN + ReLU + MaxPool(3, s2, p1),
+    evaluated entirely in 2x2x2 space-to-depth space.
+
+    Under XLA's native lowering the 1-channel 7^3 conv at 128^3 is the
+    hottest op of the whole pipeline (~63 ms, ~3 TFLOP/s: MXU contraction
+    dim is C_in=1).  The s2d form convolves at half resolution with
+    contraction 5^3*8 and never materialises the 128^3 x 64ch activation:
+    BN/ReLU run on the s2d tensor (statistics per real channel) and the
+    maxpool reduces the output phases directly
+    (`ops/space_to_depth.py::phase_maxpool_k3s2`).  Measured: stem 47 ms →
+    ~18 ms.  Param tree: {'kernel'} (+ BN under 'bn').
+    """
+
+    features: int = 64
+    train: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, D, H, W, C_in) → (B, D/2, H/2, W/2, F)
+        from hiddenpose_tpu.ops.space_to_depth import (
+            make_s2d_kernel,
+            phase_maxpool_k3s2,
+            space_to_depth_3d,
+        )
+
+        kernel = self.param(
+            "kernel", kaiming_out_normal, (7, 7, 7, x.shape[-1], self.features)
+        )
+        x2 = space_to_depth_3d(x.astype(self.dtype))
+        k2 = make_s2d_kernel(kernel.astype(self.dtype))
+        y2 = jax.lax.conv_general_dilated(
+            x2, k2, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        b, d, h, w, _ = y2.shape
+        y2 = y2.reshape(b, d, h, w, 8, self.features)
+        y2 = nn.BatchNorm(
+            use_running_average=not self.train, momentum=0.9, epsilon=1e-5,
+            name="bn",
+        )(y2)
+        y2 = nn.relu(y2).astype(self.dtype)
+        return phase_maxpool_k3s2(y2.reshape(b, d, h, w, 8 * self.features))
 
 
 class PoseNet3D(nn.Module):
@@ -128,30 +179,51 @@ class PoseNet3D(nn.Module):
     no_max_pool: bool = False
     num_joints: int = 24
     dtype: Dtype = jnp.float32
+    # Rematerialise residual blocks in the backward pass: at the reference
+    # resolution (128^3) the stored activations of 16 blocks exceed v5e HBM;
+    # remat trades ~30% backward flops for fitting batch>=2 on one chip.
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # (B, D, H, W, C)
         widths = [int(w * self.widen_factor) for w in self.inplanes]
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
+        if self.remat:
+            # `train` is a module attribute (static by construction), so the
+            # remat-wrapped call has only the activation as a traced arg.
+            block_cls = nn.remat(block_cls)
         expansion = 4 if self.block == "bottleneck" else 1
 
-        x = nn.Conv(
-            widths[0],
-            (self.conv1_t_size, 7, 7),
-            strides=(self.conv1_t_stride, 1, 1),
-            padding="SAME",
-            use_bias=False,
-            kernel_init=kaiming_out_normal,
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn1",
-        )(x)
-        x = nn.relu(x)
-        if not self.no_max_pool:
-            x = max_pool3d(x, 3, 2, pad=1)
+        s2d_stem = (
+            self.conv1_t_size == 7
+            and self.conv1_t_stride == 1
+            and not self.no_max_pool
+            and x.shape[-1] <= 2
+            and all(d % 2 == 0 for d in x.shape[1:4])
+        )
+        if s2d_stem:
+            x = StemS2D(
+                features=widths[0], train=train, dtype=self.dtype,
+                name="conv1",
+            )(x)
+        else:
+            x = nn.Conv(
+                widths[0],
+                (self.conv1_t_size, 7, 7),
+                strides=(self.conv1_t_stride, 1, 1),
+                padding="SAME",
+                use_bias=False,
+                kernel_init=kaiming_out_normal,
+                dtype=self.dtype,
+                name="conv1",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name="bn1",
+            )(x)
+            x = nn.relu(x)
+            if not self.no_max_pool:
+                x = max_pool3d(x, 3, 2, pad=1)
 
         in_planes = widths[0]
         for stage, (planes, blocks) in enumerate(zip(widths, self.layers)):
@@ -161,8 +233,9 @@ class PoseNet3D(nn.Module):
                 proj = b == 0 and (s != 1 or in_planes != planes * expansion)
                 x = block_cls(
                     planes=planes, stride=s, use_projection=proj,
-                    dtype=self.dtype, name=f"layer{stage + 1}_{b}",
-                )(x, train=train)
+                    dtype=self.dtype, train=train,
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
                 in_planes = planes * expansion
 
         return DeconvHead(

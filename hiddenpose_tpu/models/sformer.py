@@ -197,7 +197,7 @@ class NlosPoseSformer(nn.Module):
                     dtype=self.dtype, name=f"time_attn_{i}",
                 )
                 x = x + t_attn(
-                    nn.LayerNorm(dtype=self.dtype, name=f"time_ln_{i}")(x),
+                    nn.LayerNorm(name=f"time_ln_{i}")(x),
                     f=f, n=n, over="time", rot=frame_rot,
                 )
             s_attn = JointTokenAttention(
@@ -205,14 +205,14 @@ class NlosPoseSformer(nn.Module):
                 dtype=self.dtype, name=f"spatial_attn_{i}",
             )
             x = x + s_attn(
-                nn.LayerNorm(dtype=self.dtype, name=f"spatial_ln_{i}")(x),
+                nn.LayerNorm(name=f"spatial_ln_{i}")(x),
                 f=f, n=n, over="space", rot=image_rot,
             )
             ff = GEGLUFeedForward(self.dim, dtype=self.dtype, name=f"ff_{i}")
-            x = x + ff(nn.LayerNorm(dtype=self.dtype, name=f"ff_ln_{i}")(x))
+            x = x + ff(nn.LayerNorm(name=f"ff_ln_{i}")(x))
 
         joints = x[:, : self.num_joints]
-        out = nn.LayerNorm(dtype=self.dtype, name="out_ln")(joints)
+        out = nn.LayerNorm(name="out_ln")(joints)
         out = nn.Dense(self.out_dim, dtype=self.dtype, name="out_proj")(out)
         return out.reshape(b, self.num_joints, 4, self.out_dim // 4)
 

@@ -94,7 +94,7 @@ class TimeSformer(nn.Module):
             )
             x = x + t_attn(
                 maybe_shift(
-                    nn.LayerNorm(dtype=self.dtype, name=f"time_ln_{i}")(x)
+                    nn.LayerNorm(name=f"time_ln_{i}")(x)
                 ),
                 f=f, n=n, over="time", rot=frame_rot,
             )
@@ -104,18 +104,18 @@ class TimeSformer(nn.Module):
             )
             x = x + s_attn(
                 maybe_shift(
-                    nn.LayerNorm(dtype=self.dtype, name=f"spatial_ln_{i}")(x)
+                    nn.LayerNorm(name=f"spatial_ln_{i}")(x)
                 ),
                 f=f, n=n, over="space", rot=image_rot,
             )
             ff = GEGLUFeedForward(self.dim, dtype=self.dtype, name=f"ff_{i}")
             x = x + ff(
                 maybe_shift(
-                    nn.LayerNorm(dtype=self.dtype, name=f"ff_ln_{i}")(x)
+                    nn.LayerNorm(name=f"ff_ln_{i}")(x)
                 )
             )
 
-        cls_out = nn.LayerNorm(dtype=self.dtype, name="out_ln")(x[:, 0])
+        cls_out = nn.LayerNorm(name="out_ln")(x[:, 0])
         return nn.Dense(self.num_classes, dtype=self.dtype, name="out_proj")(
             cls_out
         )

@@ -97,8 +97,8 @@ class TokenTransformer(nn.Module):
                 x = jnp.concatenate([x[:, :k], x[:, k:] + pos], axis=1)
             a = TokenAttention(self.dim, self.heads, dtype=self.dtype,
                                name=f"attn_{i}")
-            x = x + a(nn.LayerNorm(dtype=self.dtype, name=f"ln_a_{i}")(x))
-            y = nn.LayerNorm(dtype=self.dtype, name=f"ln_f_{i}")(x)
+            x = x + a(nn.LayerNorm(name=f"ln_a_{i}")(x))
+            y = nn.LayerNorm(name=f"ln_f_{i}")(x)
             y = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"mlp_in_{i}")(y)
             y = jax.nn.gelu(y)
             y = nn.Dense(self.dim, dtype=self.dtype, name=f"mlp_out_{i}")(y)
@@ -165,10 +165,10 @@ class TokenPose(nn.Module):
 
         tokens = jnp.concatenate(outs, axis=2)  # (B, K, 3*dim)
         hm_dim = self.heatmap_size[0] * self.heatmap_size[1]
-        y = nn.LayerNorm(dtype=self.dtype, name="head_ln")(tokens)
+        y = nn.LayerNorm(name="head_ln")(tokens)
         if self.dim * 3 <= self.hidden_heatmap_dim * 0.5:
             y = nn.Dense(self.hidden_heatmap_dim, dtype=self.dtype,
                          name="head_hidden")(y)
-            y = nn.LayerNorm(dtype=self.dtype, name="head_ln2")(y)
+            y = nn.LayerNorm(name="head_ln2")(y)
         y = nn.Dense(hm_dim, dtype=self.dtype, name="head_out")(y)
         return y.reshape(b, self.num_keypoints, *self.heatmap_size)

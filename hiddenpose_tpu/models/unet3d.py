@@ -30,9 +30,7 @@ class DoubleConv(nn.Module):
                 self.features, (3, 3, 3), padding="SAME", dtype=self.dtype,
                 name=f"conv{i + 1}",
             )(x)
-            x = nn.GroupNorm(
-                num_groups=self.num_groups, dtype=self.dtype, name=f"gn{i + 1}"
-            )(x)
+            x = nn.GroupNorm(num_groups=self.num_groups, name=f"gn{i + 1}")(x)
             x = nn.relu(x)
         return x
 

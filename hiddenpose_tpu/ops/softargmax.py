@@ -27,7 +27,9 @@ def softmax_integral(heatmaps: jax.Array, num_joints: int) -> jax.Array:
     """(B, J, Z, Y, X) logits -> (B, J*3) expected (x, y, z) coordinates."""
     b = heatmaps.shape[0]
     z_dim, y_dim, x_dim = heatmaps.shape[-3:]
-    flat = heatmaps.reshape(b, num_joints, -1)
+    # Softmax + expectation in float32 regardless of compute dtype — the
+    # expected-coordinate sum is cancellation-sensitive.
+    flat = heatmaps.reshape(b, num_joints, -1).astype(jnp.float32)
     probs = jax.nn.softmax(flat, axis=2).reshape(
         b, num_joints, z_dim, y_dim, x_dim
     )

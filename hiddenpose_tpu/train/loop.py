@@ -40,11 +40,8 @@ class TrainResult:
     epochs_run: int
 
 
-def _device_batch(batch, mesh):
-    data = {k: v for k, v in batch.items() if k != "person_id"}
-    if mesh is not None:
-        return shard_batch(mesh, data)
-    return data
+from hiddenpose_tpu.data.device_prefetch import device_prefetch
+from hiddenpose_tpu.parallel.mesh import batch_sharding
 
 
 def train(
@@ -106,12 +103,16 @@ def train(
     metrics = {}
     epochs_run = 0
     loss_window = []
+    sharding = batch_sharding(mesh) if mesh is not None else None
     for epoch in range(begin_epoch, cfg.train.end_epoch):
         epoch_begin = time.time()
-        for step, batch in enumerate(pipeline):
+        host_batches = iter(pipeline)
+        for step, batch in enumerate(
+            device_prefetch(host_batches, sharding=sharding)
+        ):
             if step >= steps_per_epoch:
                 break
-            state, metrics = train_step(state, _device_batch(batch, mesh), lct)
+            state, metrics = train_step(state, batch, lct)
             global_iter += 1
             loss_window.append(float(metrics["loss"]))
 
