@@ -45,10 +45,14 @@ class NlosPose(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        self.feature_extraction = FeatureExtraction(
+        # Stage-level rematerialisation: at 128^3 the stored activations of
+        # the full pipeline exceed v5e HBM in the backward pass; checkpoint
+        # each stage boundary (posenet blocks are additionally rematted
+        # internally, models/posenet3d.py).
+        self.feature_extraction = nn.remat(FeatureExtraction)(
             basedim=c.basedim, stride=1, dtype=dtype
         )
-        self.autoencoder = UNet3d(
+        self.autoencoder = nn.remat(UNet3d)(
             in_channels=c.in_channels, n_channels=4, dtype=dtype
         )
         if c.backbone == "posenet3d_50":
@@ -90,7 +94,9 @@ class NlosPose(nn.Module):
         flat = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(
             b * ch, *x.shape[1:4]
         )
-        vol = lct_apply(flat, lct)
+        # Recompute the FFT chain in the backward pass instead of storing
+        # the 2x-padded complex spectra (~0.5 GB per sample at 128^3).
+        vol = jax.checkpoint(lct_apply)(flat, lct)
         vol = vol.reshape(b, ch, *vol.shape[1:]).transpose(0, 2, 3, 4, 1)
 
         feature = normalize_feature_last(vol)  # (B, T, H, W, ch)

@@ -45,6 +45,10 @@ def save_checkpoint(
             "global_iter": np.asarray(global_iter, np.int64),
         },
     }
+    # Normalise leaves to host ndarrays: jax constant-literal outputs
+    # (TypedNdArray) have no Orbax TypeHandler, and device_get also keeps
+    # the save independent of the (possibly sharded) device layout.
+    payload = jax.tree.map(np.asarray, payload)
     ckptr = _checkpointer()
     ckptr.save(path, payload, force=True)
     return path
