@@ -1,0 +1,65 @@
+"""Pallas fused-stem kernel — semantic validation via the interpreter.
+
+The kernel is experimental: Mosaic on the current toolchain rejects the
+lane-splitting reshape in the im2col (see BENCH_NOTES.md); on CPU the
+pallas interpreter executes the same kernel logic, so these tests pin the
+semantics for when the TPU lowering lands.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hiddenpose_tpu.ops.pallas.stem_conv import stem_conv_s2d_pallas
+from hiddenpose_tpu.ops.space_to_depth import (
+    make_s2d_kernel,
+    space_to_depth_3d,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "cpu", reason="interpreter-mode only"
+)
+
+
+def test_stem_conv_pallas_matches_xla():
+    rng = np.random.RandomState(0)
+    x2 = space_to_depth_3d(
+        jnp.asarray(rng.rand(1, 16, 16, 16, 1).astype(np.float32))
+    )
+    k2 = make_s2d_kernel(
+        jnp.asarray((rng.randn(7, 7, 7, 1, 64) * 0.1).astype(np.float32))
+    )
+    scale = jnp.asarray((rng.rand(512) + 0.5).astype(np.float32))
+    bias = jnp.asarray((rng.randn(512) * 0.1).astype(np.float32))
+
+    got = stem_conv_s2d_pallas(x2, k2, scale, bias, relu=True)
+    want = jax.lax.conv_general_dilated(
+        x2, k2, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    want = jnp.maximum(want * scale + bias, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_stem_conv_pallas_no_relu():
+    rng = np.random.RandomState(1)
+    x2 = space_to_depth_3d(
+        jnp.asarray(rng.rand(1, 8, 8, 8, 1).astype(np.float32))
+    )
+    k2 = make_s2d_kernel(
+        jnp.asarray((rng.randn(7, 7, 7, 1, 16) * 0.1).astype(np.float32))
+    )
+    got = stem_conv_s2d_pallas(
+        x2, k2, jnp.ones(128), jnp.zeros(128), relu=False
+    )
+    want = jax.lax.conv_general_dilated(
+        x2, k2, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
