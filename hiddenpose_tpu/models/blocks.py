@@ -76,6 +76,39 @@ kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal
 kaiming_out_normal = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class Transient2Volumn(nn.Module):
+    """Legacy dual-branch encoder: stride-2 learned branch CONCATENATED with
+    the corner-mask fixed branch (vs. FeatureExtraction's sum).
+
+    Reference: `models/customer_layers_3.py:18-58` (used by the DeepVoxels
+    feature path, `models/feature.py:47-139`).
+    """
+
+    basedim: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, D, H, W, 1)
+        s = (2, 2, 2)
+        h = edge_pad3d(x, 1)
+        h = nn.Conv(
+            self.basedim, (3, 3, 3), strides=s, padding="VALID",
+            dtype=self.dtype, name="conv_in",
+        )(h)
+        h = ResConv3D(self.basedim, dtype=self.dtype, name="res1")(h)
+        h = ResConv3D(self.basedim, dtype=self.dtype, name="res2")(h)
+
+        corner = self.param(
+            "corner_kernel", corner_mask_init, (3, 3, 3, x.shape[-1], 1)
+        )
+        h2 = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), corner.astype(self.dtype),
+            window_strides=s, padding=((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return jnp.concatenate([h2, h], axis=-1)
+
+
 class SmartConv3D(nn.Module):
     """Stride-1 SAME 3D conv that auto-selects a space-to-depth lowering.
 

@@ -115,7 +115,7 @@ def stem_conv_s2d_pallas(
         kernel,
         grid=(b, d2 // TD, h2 // TH),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # folded input, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # folded input, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # kernel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
