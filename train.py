@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--log-every", type=int, default=None,
+                   help="iterations between scalar logs (default 100, like "
+                        "the reference; auto-lowered for short runs)")
     p.add_argument("--size", type=int, default=128,
                    help="grid size (128 = reference config)")
     return p.parse_args()
@@ -74,11 +77,16 @@ def main():
     else:
         source = NlosPoseSource(cfg, cfg.dataset.train_path)
 
+    log_every = args.log_every
+    if log_every is None:
+        log_every = min(100, max(1, (args.steps_per_epoch or 100) // 2))
+
     result = train(
         cfg,
         source=source,
         workdir=args.model or cfg.final_output_dir,
         max_steps_per_epoch=args.steps_per_epoch,
+        log_every=log_every,
     )
     print(f"finished training: {result.epochs_run} epochs, "
           f"final loss {float(result.last_metrics.get('loss', float('nan'))):.5f}")
