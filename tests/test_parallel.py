@@ -78,7 +78,26 @@ def test_lct_batch_sharded():
     )
 
 
+def test_tp_sharding_rules():
+    from hiddenpose_tpu.parallel.sharding_rules import params_tp_sharding
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {
+        "wide": np.zeros((3, 3, 3, 64, 512), np.float32),
+        "narrow": np.zeros((3, 3, 3, 4, 8), np.float32),
+        "bias": np.zeros((512,), np.float32),
+        "odd": np.zeros((16, 513), np.float32),  # not divisible by 2
+    }
+    sh = params_tp_sharding(params, mesh)
+    assert sh["wide"].spec == P(None, None, None, None, "model")
+    assert sh["narrow"].spec == P()
+    assert sh["odd"].spec == P()
+    # bias is rank-1: replicated (rule requires rank >= 2)
+    assert sh["bias"].spec == P()
+
+
 def test_dryrun_multichip_entrypoint():
+    """Full train step over the 8-device mesh — hybrid DP(4) x TP(2)."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
