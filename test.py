@@ -117,8 +117,16 @@ def main():
     elif args.test == "test_fk":
         files = [os.path.join(args.data, f) for f in sorted(os.listdir(args.data))
                  if f.endswith(".mat")]
+        t = cfg.model.time_size
         for f in files:
-            meas = load_fk_measurement(f)
+            # Reference crop is [64:64+128] after x2 rebinning
+            # (test.py:150-154); generalised to a centred T-bin crop.
+            from scipy.io import loadmat
+
+            raw_t = loadmat(f)["meas"].shape[2] // 4
+            start = max((raw_t - t) // 2, 0)
+            meas = load_fk_measurement(f, rebin_count=2,
+                                       time_crop=(start, start + t))
             run_single(meas, os.path.splitext(os.path.basename(f))[0])
 
     else:  # test_pose_v2
