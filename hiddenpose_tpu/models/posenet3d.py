@@ -147,8 +147,9 @@ class StemS2D(nn.Module):
             space_to_depth_3d,
         )
 
+        f = self.features
         kernel = self.param(
-            "kernel", kaiming_out_normal, (7, 7, 7, x.shape[-1], self.features)
+            "kernel", kaiming_out_normal, (7, 7, 7, x.shape[-1], f)
         )
         x2 = space_to_depth_3d(x.astype(self.dtype))
         k2 = make_s2d_kernel(kernel.astype(self.dtype))
@@ -157,14 +158,36 @@ class StemS2D(nn.Module):
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=jnp.float32,
         )
-        b, d, h, w, _ = y2.shape
-        y2 = y2.reshape(b, d, h, w, 8, self.features)
-        y2 = nn.BatchNorm(
-            use_running_average=not self.train, momentum=0.9, epsilon=1e-5,
-            name="bn",
-        )(y2)
+
+        # BatchNorm with phase-tied parameters, applied directly on the
+        # (.., 8*f) tensor — splitting the lane axis for flax BatchNorm
+        # costs two full relayouts of the 8x-resolution activation.
+        # Statistics are per REAL channel (identical elements to a native
+        # BN over the full-resolution conv output).
+        gamma = self.param("bn_scale", nn.initializers.ones, (f,))
+        beta = self.param("bn_bias", nn.initializers.zeros, (f,))
+        ra_mean = self.variable(
+            "batch_stats", "bn_mean", lambda: jnp.zeros((f,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "bn_var", lambda: jnp.ones((f,), jnp.float32)
+        )
+        eps = 1e-5
+        if self.train:
+            flat = y2.reshape(-1, 8, f)
+            mean = flat.mean(axis=(0, 1))
+            var = flat.var(axis=(0, 1))
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        scale = gamma * jax.lax.rsqrt(var + eps)
+        shift = beta - mean * scale
+        y2 = y2 * jnp.tile(scale, 8) + jnp.tile(shift, 8)
+
         y2 = nn.relu(y2).astype(self.dtype)
-        return phase_maxpool_k3s2(y2.reshape(b, d, h, w, 8 * self.features))
+        return phase_maxpool_k3s2(y2)
 
 
 class PoseNet3D(nn.Module):

@@ -25,7 +25,7 @@ import numpy as np
 from hiddenpose_tpu.config import Config
 from hiddenpose_tpu.data.dataset import DataPipeline, SyntheticSource
 from hiddenpose_tpu.models.nlospose import build_nlospose
-from hiddenpose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from hiddenpose_tpu.parallel.mesh import make_mesh, replicate
 from hiddenpose_tpu.train import checkpoint as ckpt
 from hiddenpose_tpu.train.optim import make_optimizer
 from hiddenpose_tpu.train.state import TrainState
