@@ -47,6 +47,24 @@ def softmax_integral(heatmaps: jax.Array, num_joints: int) -> jax.Array:
     return jnp.stack([x, y, z], axis=2).reshape(b, num_joints * 3)
 
 
+def simdr_decode(
+    logits_xyz: jax.Array, split_ratio: float = 2.0
+) -> jax.Array:
+    """Decode per-axis SimDR classification logits to coordinates.
+
+    logits_xyz: (B, J, 3, K) — per-axis bin logits (the first three p-slots
+    of NlosPoseSformer's output, `models/NlosPoseSformer.py:143-151`).
+    Returns (B, J, 3) expected coordinates in image units (bin / split_ratio,
+    inverting the dataloader's mu = joint * split_ratio at
+    `utils/dataloader.py:271-273`).
+    """
+    probs = jax.nn.softmax(logits_xyz.astype(jnp.float32), axis=-1)
+    k = logits_xyz.shape[-1]
+    bins = jnp.arange(k, dtype=jnp.float32)
+    expected = (probs * bins).sum(axis=-1)
+    return expected / split_ratio
+
+
 def softmax_integral_normalized(heatmaps: jax.Array, num_joints: int) -> jax.Array:
     """Variant that re-centres to [-0.5, 0.5] — the semantics of the
     reference's *older* loss copy (`models/critierion.py:134-149`).  Provided

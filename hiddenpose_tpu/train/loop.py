@@ -114,7 +114,20 @@ def train(
                 break
             state, metrics = train_step(state, batch, lct)
             global_iter += 1
-            loss_window.append(float(metrics["loss"]))
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                # Trainer-level failure detection (the reference has none —
+                # SURVEY §5): stop rather than poison the optimizer state;
+                # the last epoch checkpoint remains restorable.
+                logger.error(
+                    f"non-finite loss {loss_val} at iter {global_iter}; "
+                    "aborting epoch (restore the last checkpoint to resume)"
+                )
+                writer.close()
+                return TrainResult(
+                    state=state, last_metrics=metrics, epochs_run=epochs_run
+                )
+            loss_window.append(loss_val)
 
             if global_iter % log_every == 0:
                 mean_loss = float(np.mean(loss_window))

@@ -97,3 +97,16 @@ def test_nmt_norm_criterion_prefers_correct_class():
     good = float(losses.nmt_norm_criterion(logits_good, labels).mean())
     bad = float(losses.nmt_norm_criterion(logits_bad, labels).mean())
     assert good < bad
+
+
+def test_simdr_decode_recovers_peak():
+    from hiddenpose_tpu.ops.softargmax import simdr_decode
+
+    logits = np.full((1, 2, 3, 16), -1000.0, dtype=np.float32)
+    logits[0, 0, 0, 10] = 1000.0  # joint 0 x at bin 10
+    logits[0, 0, 1, 4] = 1000.0
+    logits[0, 0, 2, 8] = 1000.0
+    logits[0, 1, :, 0] = 1000.0
+    out = np.asarray(simdr_decode(jnp.asarray(logits), split_ratio=2.0))
+    np.testing.assert_allclose(out[0, 0], [5.0, 2.0, 4.0], atol=1e-4)
+    np.testing.assert_allclose(out[0, 1], [0.0, 0.0, 0.0], atol=1e-4)

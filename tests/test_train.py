@@ -113,3 +113,32 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     assert ckpt.latest_checkpoint(str(tmp_path)).endswith("epoch_3")
+
+
+def test_train_loop_aborts_on_nonfinite_loss(tmp_path):
+    """Trainer-level failure detection: a poisoned batch stops the loop
+    instead of corrupting the optimizer state."""
+    import dataclasses
+
+    from hiddenpose_tpu.data.dataset import SyntheticSource
+    from hiddenpose_tpu.train.loop import train
+
+    class PoisonedSource(SyntheticSource):
+        def __getitem__(self, index):
+            item = dict(super().__getitem__(index))
+            item["meas"] = np.full_like(item["meas"], np.nan)
+            return item
+
+    cfg = dataclasses.replace(
+        CFG,
+        log_dir=str(tmp_path / "log"),
+        train=dataclasses.replace(CFG.train, end_epoch=1, batch_size=2),
+    )
+    src = PoisonedSource(cfg, length=4)
+    result = train(
+        cfg, source=src, workdir=str(tmp_path / "ckpt"),
+        max_steps_per_epoch=3, use_mesh=False, log_every=1,
+    )
+    # aborted inside epoch 0 before completing it
+    assert result.epochs_run == 0
+    assert not np.isfinite(float(result.last_metrics["loss"]))
