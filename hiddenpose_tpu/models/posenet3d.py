@@ -138,6 +138,12 @@ class StemS2D(nn.Module):
     features: int = 64
     train: bool = False
     dtype: Dtype = jnp.float32
+    # Fused Pallas inference kernel (ops/pallas/stem_conv.py): exact
+    # (bit-identical) and faster standalone (13.2 vs 16.1 ms conv-only),
+    # but in-situ the extra channel-planes input transpose cancels the win
+    # (55.6 vs 53.6 ms posenet) — default off until the s2d reshape and the
+    # kernel's layout are unified (ROADMAP #1).
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):  # (B, D, H, W, C_in) → (B, D/2, H/2, W/2, F)
@@ -153,11 +159,22 @@ class StemS2D(nn.Module):
         )
         x2 = space_to_depth_3d(x.astype(self.dtype))
         k2 = make_s2d_kernel(kernel.astype(self.dtype))
-        y2 = jax.lax.conv_general_dilated(
-            x2, k2, (1, 1, 1), "SAME",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
+
+        pallas_ok = (
+            not self.train
+            and self.use_pallas
+            and jax.default_backend() != "cpu"
+            and x2.shape[1] % 4 == 0
+            and x2.shape[2] % 4 == 0
+            and x2.shape[3] + 4 <= 128
         )
+        y2 = None
+        if not pallas_ok:
+            y2 = jax.lax.conv_general_dilated(
+                x2, k2, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            )
 
         # BatchNorm with phase-tied parameters, applied directly on the
         # (.., 8*f) tensor — splitting the lane axis for flax BatchNorm
@@ -184,8 +201,21 @@ class StemS2D(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         scale = gamma * jax.lax.rsqrt(var + eps)
         shift = beta - mean * scale
-        y2 = y2 * jnp.tile(scale, 8) + jnp.tile(shift, 8)
 
+        if pallas_ok:
+            # Fused Pallas kernel (conv + BN affine + ReLU in one VMEM
+            # pass); inference only — training keeps the XLA path for the
+            # batch-stats computation and autodiff.
+            from hiddenpose_tpu.ops.pallas.stem_conv import (
+                stem_conv_s2d_pallas,
+            )
+
+            y2 = stem_conv_s2d_pallas(
+                x2, k2, jnp.tile(scale, 8), jnp.tile(shift, 8), relu=True
+            ).astype(self.dtype)
+            return phase_maxpool_k3s2(y2)
+
+        y2 = y2 * jnp.tile(scale, 8) + jnp.tile(shift, 8)
         y2 = nn.relu(y2).astype(self.dtype)
         return phase_maxpool_k3s2(y2)
 
