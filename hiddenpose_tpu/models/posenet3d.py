@@ -138,11 +138,11 @@ class StemS2D(nn.Module):
     features: int = 64
     train: bool = False
     dtype: Dtype = jnp.float32
-    # Fused Pallas inference kernel (ops/pallas/stem_conv.py): exact
-    # (bit-identical) and faster standalone (13.2 vs 16.1 ms conv-only),
-    # but in-situ the extra channel-planes input transpose cancels the win
-    # (55.6 vs 53.6 ms posenet) — default off until the s2d reshape and the
-    # kernel's layout are unified (ROADMAP #1).
+    # Fused Pallas inference kernel (ops/pallas/stem_conv.py): bit-exact vs
+    # the XLA path (max err 0.0 on-chip) and faster standalone, but in-situ
+    # the XLA stem still wins by ~2 ms (55.5 vs 53.6 ms posenet @128^3 b2) —
+    # XLA fuses the conv with its consumers while the kernel pays its own
+    # DMA/grid overhead.  Kept opt-in; revisit with double-buffered DMA.
     use_pallas: bool = False
 
     @nn.compact
@@ -157,19 +157,20 @@ class StemS2D(nn.Module):
         kernel = self.param(
             "kernel", kaiming_out_normal, (7, 7, 7, x.shape[-1], f)
         )
-        x2 = space_to_depth_3d(x.astype(self.dtype))
         k2 = make_s2d_kernel(kernel.astype(self.dtype))
 
         pallas_ok = (
             not self.train
             and self.use_pallas
             and jax.default_backend() != "cpu"
-            and x2.shape[1] % 4 == 0
-            and x2.shape[2] % 4 == 0
-            and x2.shape[3] + 4 <= 128
+            and x.shape[-1] == 1
+            and (x.shape[1] // 2) % 4 == 0
+            and (x.shape[2] // 2) % 4 == 0
+            and x.shape[3] // 2 + 4 <= 128
         )
         y2 = None
         if not pallas_ok:
+            x2 = space_to_depth_3d(x.astype(self.dtype))
             y2 = jax.lax.conv_general_dilated(
                 x2, k2, (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
@@ -204,14 +205,16 @@ class StemS2D(nn.Module):
 
         if pallas_ok:
             # Fused Pallas kernel (conv + BN affine + ReLU in one VMEM
-            # pass); inference only — training keeps the XLA path for the
-            # batch-stats computation and autodiff.
+            # pass) straight from the raw volume — one layout transform
+            # total, same as the XLA path.  Inference only: training keeps
+            # the XLA path for batch statistics and autodiff.
             from hiddenpose_tpu.ops.pallas.stem_conv import (
-                stem_conv_s2d_pallas,
+                stem_conv_raw_pallas,
             )
 
-            y2 = stem_conv_s2d_pallas(
-                x2, k2, jnp.tile(scale, 8), jnp.tile(shift, 8), relu=True
+            y2 = stem_conv_raw_pallas(
+                x.astype(self.dtype), k2, jnp.tile(scale, 8),
+                jnp.tile(shift, 8), relu=True,
             ).astype(self.dtype)
             return phase_maxpool_k3s2(y2)
 

@@ -81,6 +81,29 @@ def _stem_kernel(x_hbm, kt_ref, scale_ref, bias_ref, o_ref, x_tile, patches,
 
 
 @functools.partial(jax.jit, static_argnames=("relu",))
+def stem_conv_raw_pallas(
+    x: jax.Array,
+    k2: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    relu: bool = True,
+) -> jax.Array:
+    """Full-resolution entry: x (B, D, H, W, 1) raw volume → one fused
+    transpose builds the channel-planes layout directly (the same single
+    relayout the XLA s2d path pays), then the kernel runs.  Returns the
+    s2d-space result (B, D/2, H/2, W/2, C_out)."""
+    b, d, h, w, c = x.shape
+    assert c == 1
+    xp = x.astype(jnp.float32).reshape(b, d // 2, 2, h // 2, 2, w // 2, 2)
+    xp = xp.transpose(0, 2, 4, 6, 1, 3, 5).reshape(
+        b, 8, d // 2, h // 2, w // 2
+    )
+    w2 = w // 2
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (2, 2), (2, 2), (2, 128 - w2 - 2)))
+    return _stem_call(xp, k2, scale, bias, relu, x.dtype, w2)
+
+
+@functools.partial(jax.jit, static_argnames=("relu",))
 def stem_conv_s2d_pallas(
     x2: jax.Array,
     k2: jax.Array,
@@ -92,15 +115,22 @@ def stem_conv_s2d_pallas(
     scale/bias: (C_out,) folded BN affine.  Returns (B, D2, H2, W2, C_out).
     """
     b, d2, h2, w2, cin = x2.shape
-    assert cin == CIN and d2 % TD == 0 and h2 % TH == 0
-    assert w2 + 4 <= 128, "W lane window exceeds one 128-lane tile"
-    c_out = k2.shape[-1]
+    assert cin == CIN
 
     # Channel-planes layout with SAME pad 2 and a 128-lane W axis.
     xp = jnp.transpose(x2.astype(jnp.float32), (0, 4, 1, 2, 3))
     xp = jnp.pad(
         xp, ((0, 0), (0, 0), (2, 2), (2, 2), (2, 128 - w2 - 2))
     )  # (B, 8, D2+4, H2+4, 128)
+    return _stem_call(xp, k2, scale, bias, relu, x2.dtype, w2)
+
+
+def _stem_call(xp, k2, scale, bias, relu, out_dtype, w2):
+    b = xp.shape[0]
+    d2, h2 = xp.shape[2] - 4, xp.shape[3] - 4
+    assert d2 % TD == 0 and h2 % TH == 0
+    assert w2 + 4 <= 128, "W lane window exceeds one 128-lane tile"
+    c_out = k2.shape[-1]
 
     kf = k2.reshape(PATCH, c_out).astype(jnp.float32)
     kt = jnp.pad(kf, ((0, PATCH_PAD - PATCH), (0, 0))).T  # (C_out, 1024)
@@ -122,7 +152,7 @@ def stem_conv_s2d_pallas(
             (1, TD, TH, w2, c_out), lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, d2, h2, w2, c_out), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, d2, h2, w2, c_out), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((CIN, TD + 4, TH + 4, 128), jnp.float32),
             pltpu.VMEM((PATCH_PAD, TD * TH, w2), jnp.float32),
