@@ -74,6 +74,13 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
         default_config().tiny(size)
     if os.environ.get("HP_BENCH_DTYPE", "") in ("bf16", "bfloat16"):
         cfg = cfg.with_bf16()
+    chunk = int(os.environ.get("HP_BENCH_LCT_CHUNK", "0"))
+    if chunk:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, lct_batch_chunk=chunk)
+        )
 
     if mode == "sformer":
         # NlosPoseSformer on a real-data-shaped video volume

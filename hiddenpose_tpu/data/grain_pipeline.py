@@ -61,8 +61,13 @@ def make_grain_loader(
     seed: int = 410,
     num_workers: int = 4,
     num_epochs: Optional[int] = None,
+    shard_options=None,
 ):
-    """Returns an iterable of collated batch dicts backed by grain workers."""
+    """Returns an iterable of collated batch dicts backed by grain workers.
+
+    ``shard_options``: a ``grain.ShardOptions`` for multi-host runs — use
+    ``parallel.distributed.grain_shard_options()`` to derive it from
+    ``jax.process_index/count`` (defaults to no sharding)."""
     import grain.python as grain
 
     sampler = grain.IndexSampler(
@@ -70,7 +75,7 @@ def make_grain_loader(
         shuffle=shuffle,
         seed=seed,
         num_epochs=num_epochs,
-        shard_options=grain.NoSharding(),
+        shard_options=shard_options or grain.NoSharding(),
     )
     drop_strings, finalize = _make_transforms()
     operations = [

@@ -96,7 +96,9 @@ class NlosPose(nn.Module):
         )
         # Recompute the FFT chain in the backward pass instead of storing
         # the 2x-padded complex spectra (~0.5 GB per sample at 128^3).
-        vol = jax.checkpoint(lct_apply)(flat, lct)
+        vol = jax.checkpoint(
+            lambda m, p: lct_apply(m, p, batch_chunk=c.lct_batch_chunk)
+        )(flat, lct)
         vol = vol.reshape(b, ch, *vol.shape[1:]).transpose(0, 2, 3, 4, 1)
 
         feature = normalize_feature_last(vol)  # (B, T, H, W, ch)

@@ -23,12 +23,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def default_devices() -> list:
+    """Device pool for mesh construction.
+
+    Honors an explicitly-pinned ``jax_default_device`` (used by the test
+    suite to force the 8-device virtual CPU backend even when a TPU plugin
+    registered itself with higher priority); otherwise the default backend.
+    """
+    pinned = jax.config.jax_default_device
+    if pinned is not None:
+        return jax.devices(pinned.platform)
+    return jax.devices()
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    devices = list(devices if devices is not None else jax.devices())
+    devices = list(devices if devices is not None else default_devices())
     if n_data is None:
         n_data = len(devices) // n_model
     devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)

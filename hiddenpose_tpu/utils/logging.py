@@ -62,6 +62,31 @@ class MetricWriter:
             with self._tb.as_default():
                 tf.summary.scalar(tag, value, step=step)
 
+    def histogram(self, tag: str, values, step: int, bins: int = 64):
+        """Per-parameter histogram (reference: per-param TB histograms in
+        the SimDR loop, `utils/train_simdr.py:66-67`).  JSONL sink stores
+        (bin_edges, counts) summaries to stay lightweight."""
+        import numpy as np
+
+        v = np.asarray(values).ravel()
+        counts, edges = np.histogram(v, bins=bins)
+        rec = {
+            "tag": tag, "step": int(step), "ts": time.time(),
+            "hist": {
+                "counts": counts.tolist(),
+                "min": float(edges[0]), "max": float(edges[-1]),
+                "mean": float(v.mean()) if v.size else 0.0,
+                "std": float(v.std()) if v.size else 0.0,
+            },
+        }
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                tf.summary.histogram(tag, v, step=step)
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

@@ -69,8 +69,12 @@ def volume_log(volume, out_dir: str, name: str, step: int = 0,
         ax.set_title(title)
         ax.axis("off")
     if joints is not None:
+        # Overlay on all three projections like the reference
+        # (`utils/visualizer.py:31-56`: front (h,w), top (d,w), left (d,h)).
         j = np.asarray(joints).reshape(-1, 3)  # (d, h, w)
-        axes[0].scatter(j[:, 2], j[:, 1], s=6, c="cyan")
+        axes[0].scatter(j[:, 2], j[:, 1], s=6, c="cyan")  # front: x=w, y=h
+        axes[1].scatter(j[:, 2], j[:, 0], s=6, c="cyan")  # left:  x=w, y=d
+        axes[2].scatter(j[:, 1], j[:, 0], s=6, c="cyan")  # top:   x=h, y=d
     fig.suptitle(f"{name} @ {step}")
     return _save(fig, out_dir, name)
 

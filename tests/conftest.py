@@ -1,14 +1,32 @@
-"""Test configuration: force an 8-device virtual CPU mesh.
+"""Test configuration: force a REAL 8-device virtual CPU mesh.
 
 Mirrors the SURVEY §4 test plan: multi-chip sharding is validated on a faked
 v5e-8 via ``--xla_force_host_platform_device_count=8`` (the driver separately
 dry-runs the real multi-chip path through ``__graft_entry__.dryrun_multichip``).
-Must run before the first ``import jax`` anywhere in the test session.
+
+On hosts where a TPU PJRT plugin registers itself at interpreter startup
+(e.g. the axon relay plugin injected through a ``sitecustomize`` on
+``PYTHONPATH``), ``JAX_PLATFORMS=cpu`` is NOT honored: the plugin registers
+with priority 500 and wins ``jax.default_backend()`` anyway, so in round 1
+the jax-heavy tests silently ran over the TPU relay and the 8-device tests
+silently skipped (VERDICT weak #6/#1).  The fix that works in-process (an
+execve re-exec would lose pytest's fd-captured output):
+
+* set ``--xla_force_host_platform_device_count=8`` here — backends
+  initialise lazily, so this is honored even though jax is already
+  *imported* at interpreter start;
+* pin ``jax_default_device`` to a CPU device, which routes every
+  uncommitted computation (including jit) to the CPU backend regardless of
+  the plugin's priority;
+* multi-device code paths take their devices from ``jax.devices("cpu")``
+  (``parallel.mesh.make_mesh`` prefers the default-device platform).
+
+``pytest_collection_modifyitems`` asserts all of this took effect: a broken
+environment fails loudly instead of skipping.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +36,24 @@ if "xla_force_host_platform_device_count" not in flags:
 # Persistent compilation cache: repeat test runs skip XLA recompiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault(
-    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1"
-)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import jax  # noqa: E402  (after the env flags, before any backend init)
+
+_CPU_DEVICES = jax.devices("cpu")
+jax.config.update("jax_default_device", _CPU_DEVICES[0])
+
+
+def pytest_collection_modifyitems(config, items):
+    """Assert the backend tests think they run on (VERDICT weak #6)."""
+    assert len(_CPU_DEVICES) >= 8, (
+        f"expected >=8 virtual CPU devices, got {len(_CPU_DEVICES)} — "
+        "xla_force_host_platform_device_count was set too late"
+    )
+    import jax.numpy as jnp
+
+    placed = jnp.zeros(()).devices()
+    assert all(d.platform == "cpu" for d in placed), (
+        f"default placement is {placed}, not CPU — tests would run "
+        "through the TPU relay"
+    )
