@@ -21,6 +21,13 @@ import os
 import sys
 import time
 
+# Persistent XLA/Mosaic compile cache (set BEFORE the first jax import):
+# the Pallas stencil kernels cost minutes of remote Mosaic compile on a
+# fresh process; with the cache a repeat bench run skips all of it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_hp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 
 def _sync(out) -> None:
     """Force completion of `out`'s computation chain.
@@ -151,18 +158,22 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
         )(jax.random.PRNGKey(0), small)
 
         flat = meas.reshape(batch, size, size, size)
+        # NB: arrays must be jit ARGUMENTS, not closures — closed-over
+        # device arrays are serialised into the remote-compile request on
+        # the axon relay and large stages then die with HTTP 413.
         stages = {
-            "feature_extraction": jax.jit(lambda: fe.apply(fe_v, x_last)),
-            "lct": jax.jit(lambda: lct_apply(flat, lct)),
-            "normalize": jax.jit(lambda: normalize_feature_last(x_last)),
-            "unet3d": jax.jit(lambda: un.apply(un_v, x_last)),
-            "posenet3d": jax.jit(
-                lambda: pn.apply(pn_v, x_last, train=False)
+            "feature_extraction": (jax.jit(fe.apply), (fe_v, x_last)),
+            "lct": (jax.jit(lct_apply), (flat, lct)),
+            "normalize": (jax.jit(normalize_feature_last), (x_last,)),
+            "unet3d": (jax.jit(un.apply), (un_v, x_last)),
+            "posenet3d": (
+                jax.jit(lambda v, x: pn.apply(v, x, train=False)),
+                (pn_v, x_last),
             ),
         }
         out = {}
-        for name, f in stages.items():
-            sec = _timeit(f, iters)
+        for name, (f, args) in stages.items():
+            sec = _timeit(lambda: f(*args), iters)
             out[name] = sec
             print(f"  {name}: {sec * 1000:.2f} ms", file=sys.stderr)
         total = sum(out.values())

@@ -157,29 +157,98 @@ class SmartConv3D(nn.Module):
         return y
 
 
+from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+
+
+class StencilConv3(nn.Module):
+    """One 3^3 stride-1 SAME conv on channels-planes volumes, with fused
+    residual/activation — dispatching to the Pallas stencil kernel
+    (`ops/pallas/conv3p.py`) on TPU inference, plain XLA otherwise.
+
+    Input/output (B, C, D, H, W).  Param names match nn.Conv ('kernel'
+    DHWIO, 'bias')."""
+
+    features: int
+    pad_mode: str = "zero"  # 'zero' | 'edge' (ReplicationPad3d)
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, residual=None, act: str = "none",
+                 use_pallas: bool = False):
+        from hiddenpose_tpu.ops.pallas.conv3p import (
+            conv3_planes,
+            conv3_planes_xla,
+        )
+
+        cin = xp.shape[1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, 3, cin, self.features)
+        )
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        eligible = (
+            use_pallas
+            and xp.shape[-1] <= 128
+            and xp.shape[-2] % 8 == 0
+            # compile-time bound: the kernel body unrolls 27*cin*cout FMAs
+            and cin * self.features <= 32
+            # Mosaic bug on this toolchain: dynamic memref_slice of a 5D
+            # VMEM ref whose lane (W) extent is < 128 dies in the compiler;
+            # the sub-128-lane levels fall back to XLA on hardware (the
+            # interpreter used by CPU tests is unaffected).
+            and (xp.shape[-1] == 128 or not on_tpu_default_device())
+        )
+        if eligible:
+            return conv3_planes(
+                xp, kernel, bias, residual, act=act, pad_mode=self.pad_mode
+            ).astype(self.dtype)
+        # Training / CPU path: plain conv (default MXU precision, like the
+        # nn.Conv it replaces) with the same pad/act/residual semantics.
+        mode = "edge" if self.pad_mode == "edge" else "constant"
+        h = jnp.pad(
+            xp.astype(self.dtype),
+            ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)), mode=mode,
+        )
+        out = jax.lax.conv_general_dilated(
+            h, kernel.astype(self.dtype), (1, 1, 1), "VALID",
+            dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            out = out + bias.astype(out.dtype)[None, :, None, None, None]
+        if residual is not None:
+            out = out + residual.astype(out.dtype)
+        if act == "relu":
+            out = nn.relu(out)
+        elif act == "leaky":
+            out = nn.leaky_relu(out, negative_slope=0.2)
+        return out.astype(self.dtype)
+
+
 class ResConv3D(nn.Module):
     """Residual block: 2 x (edge-pad + conv k3) with LeakyReLU(0.2).
 
     Reference: `models/ops.py:7-38` / `models/feature_extraction.py:228-256`.
+    Channels-last (B, D, H, W, C) in/out; internally channels-planes so the
+    TPU inference path can use the fused Pallas stencil kernel (the
+    boundary transposes are free reshapes at C=1, the live config).
     """
 
     features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        h = edge_pad3d(x, 1)
-        h = nn.Conv(
-            self.features, (3, 3, 3), padding="VALID", dtype=self.dtype,
-            name="conv1",
-        )(h)
-        h = nn.leaky_relu(h, negative_slope=0.2)
-        h = edge_pad3d(h, 1)
-        h = nn.Conv(
-            self.features, (3, 3, 3), padding="VALID", dtype=self.dtype,
-            name="conv2",
-        )(h)
-        return nn.leaky_relu(h + x, negative_slope=0.2)
+    def __call__(self, x: jax.Array, use_pallas: bool = False) -> jax.Array:
+        xp = jnp.transpose(x, (0, 4, 1, 2, 3))
+        h = StencilConv3(
+            self.features, pad_mode="edge", dtype=self.dtype, name="conv1",
+        )(xp, act="leaky", use_pallas=use_pallas)
+        y = StencilConv3(
+            self.features, pad_mode="edge", dtype=self.dtype, name="conv2",
+        )(h, residual=xp, act="leaky", use_pallas=use_pallas)
+        return jnp.transpose(y, (0, 2, 3, 4, 1))
 
 
 def corner_mask_init(key, shape, dtype=jnp.float32):
@@ -211,7 +280,53 @@ class FeatureExtraction(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:  # (B, D, H, W, 1)
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # x: (B, D, H, W, 1)
+        from hiddenpose_tpu.ops.pallas.conv3p import conv3_planes
+
+        use_pallas = (
+            not train
+            and self.stride == 1
+            and on_tpu_default_device()
+            and x.shape[-1] * self.basedim <= 16
+            and x.shape[2] % 8 == 0
+            and x.shape[3] <= 128
+        )
+        if use_pallas or self.stride == 1:
+            # Channels-planes pipeline: one boundary transpose each way
+            # (free at C=1), every conv through StencilConv3.
+            xp = jnp.transpose(x, (0, 4, 1, 2, 3))
+            h = StencilConv3(
+                self.basedim, pad_mode="edge", dtype=self.dtype,
+                name="conv_in",
+            )(xp, use_pallas=use_pallas)
+            h = jnp.transpose(h, (0, 2, 3, 4, 1))
+            h = ResConv3D(self.basedim, dtype=self.dtype, name="res1")(
+                h, use_pallas=use_pallas
+            )
+            h = ResConv3D(self.basedim, dtype=self.dtype, name="res2")(
+                h, use_pallas=use_pallas
+            )
+            h = jnp.transpose(h, (0, 4, 1, 2, 3))
+
+            corner = self.param(
+                "corner_kernel", corner_mask_init, (3, 3, 3, x.shape[-1], 1)
+            )
+            if use_pallas:
+                h2 = conv3_planes(
+                    xp.astype(self.dtype), corner.astype(self.dtype),
+                    pad_mode="zero",
+                )
+            else:
+                h2 = jax.lax.conv_general_dilated(
+                    xp.astype(self.dtype),
+                    corner.astype(self.dtype),
+                    window_strides=(1, 1, 1),
+                    padding=((1, 1),) * 3,
+                    dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+                )
+            return jnp.transpose(h + h2, (0, 2, 3, 4, 1))
+
         s = (self.stride,) * 3
         h = edge_pad3d(x, 1)
         h = nn.Conv(

@@ -49,10 +49,12 @@ class NlosPose(nn.Module):
         # the full pipeline exceed v5e HBM in the backward pass; checkpoint
         # each stage boundary (posenet blocks are additionally rematted
         # internally, models/posenet3d.py).
-        self.feature_extraction = nn.remat(FeatureExtraction)(
-            basedim=c.basedim, stride=1, dtype=dtype
-        )
-        self.autoencoder = nn.remat(UNet3d)(
+        # static_argnums: `train` selects the Pallas-vs-XLA conv path with
+        # Python control flow, so it must stay concrete under remat.
+        self.feature_extraction = nn.remat(
+            FeatureExtraction, static_argnums=(2,)
+        )(basedim=c.basedim, stride=1, dtype=dtype)
+        self.autoencoder = nn.remat(UNet3d, static_argnums=(2,))(
             in_channels=c.in_channels, n_channels=4, dtype=dtype
         )
         if c.backbone == "posenet3d_50":
@@ -86,7 +88,7 @@ class NlosPose(nn.Module):
         # NCDHW → NDHWC once at the boundary.
         x = jnp.transpose(meas, (0, 2, 3, 4, 1))
 
-        x = self.feature_extraction(x)  # (B, T, H, W, basedim)
+        x = self.feature_extraction(x, train)  # (B, T, H, W, basedim)
 
         # Physics layer: fold channels into batch for the LCT
         # (time window (0, T) as in models/NlosPose.py:17-18,53).
@@ -102,7 +104,7 @@ class NlosPose(nn.Module):
         vol = vol.reshape(b, ch, *vol.shape[1:]).transpose(0, 2, 3, 4, 1)
 
         feature = normalize_feature_last(vol)  # (B, T, H, W, ch)
-        refine = self.autoencoder(feature)
+        refine = self.autoencoder(feature, train)
 
         if c.backbone == "posenet2d":
             from hiddenpose_tpu.models.posenet2d import visible_net

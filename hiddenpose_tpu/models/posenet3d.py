@@ -139,14 +139,14 @@ class StemS2D(nn.Module):
     train: bool = False
     dtype: Dtype = jnp.float32
     # Fused Pallas inference kernel (ops/pallas/stem_conv.py): bit-exact vs
-    # the XLA path (max err 0.0 on-chip) and faster standalone, but in-situ
-    # the XLA stem still wins by ~2 ms (55.5 vs 53.6 ms posenet @128^3 b2) —
-    # XLA fuses the conv with its consumers while the kernel pays its own
-    # DMA/grid overhead.  Kept opt-in; revisit with double-buffered DMA.
-    use_pallas: bool = False
+    # the XLA path (max err 0.0 on-chip).  None = auto (on for TPU
+    # inference — round 2 measurement has it winning in-situ as well once
+    # the rest of the pipeline stopped being layout-bound).
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x):  # (B, D, H, W, C_in) → (B, D/2, H/2, W/2, F)
+        from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
         from hiddenpose_tpu.ops.space_to_depth import (
             make_s2d_kernel,
             phase_maxpool_k3s2,
@@ -159,10 +159,14 @@ class StemS2D(nn.Module):
         )
         k2 = make_s2d_kernel(kernel.astype(self.dtype))
 
+        use_pallas = (
+            on_tpu_default_device()
+            if self.use_pallas is None else self.use_pallas
+        )
         pallas_ok = (
             not self.train
-            and self.use_pallas
-            and jax.default_backend() != "cpu"
+            and use_pallas
+            and on_tpu_default_device()
             and x.shape[-1] == 1
             and (x.shape[1] // 2) % 4 == 0
             and (x.shape[2] // 2) % 4 == 0

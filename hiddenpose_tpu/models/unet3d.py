@@ -1,16 +1,21 @@
-"""3D U-Net denoising autoencoder (channels-last).
+"""3D U-Net denoising autoencoder (channels-planes internally).
 
 Re-design of `/root/reference/unet/unet3d.py:11-118`: 4-level encoder/decoder,
 DoubleConv = (conv k3 SAME → GroupNorm(4) → ReLU) x 2, MaxPool3d(2) down,
 trilinear (align_corners) x2 up with centre-pad + skip concat, 1x1x1 out conv.
 
-TPU note: the full-resolution level (128^3 at 1-4 channels) is
-layout-hostile under XLA (lane padding of tiny channel counts); with
-``s2d_top`` the top level runs in 2x2x2 space-to-depth coordinates —
-algebraically identical (same parameters, see `ops/space_to_depth.py`), but
-the convs contract over 8x the channels at 1/8 the positions, the 2^3
-maxpool becomes a pure phase-max, and the skip tensor never materialises at
-full resolution.
+TPU design (round 2): every volume runs channels-planes (B, C, D, H, W) —
+W in lanes, H in sublanes — because at this net's 1-32 channels the
+channels-last layout starves the lane dimension.  The convolutions go
+through `StencilConv3`: on TPU inference that is the fused Pallas stencil
+kernel (`ops/pallas/conv3p.py`, measured ~2-4x the XLA conv at 128^3);
+training and CPU use the equivalent XLA conv, so autodiff is untouched.
+GroupNorm/pool/resize are cheap XLA ops on the planes layout.  The
+boundary transposes to/from the external channels-last API are free
+reshapes at in_channels=1 (the live config).
+
+Param tree is identical to round 1 (conv{1,2}/gn{1,2} per block, 'out'):
+checkpoints restore unchanged.
 """
 
 from __future__ import annotations
@@ -19,162 +24,164 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-from hiddenpose_tpu.models.blocks import max_pool3d, resize_trilinear
+from hiddenpose_tpu.models.blocks import StencilConv3, on_tpu_default_device
 
 Dtype = Any
 
 
-class DoubleConv(nn.Module):
-    features: int
+class GroupNormP(nn.Module):
+    """GroupNorm over a channels-planes (B, C, D, H, W) volume.
+
+    Matches torch/flax GroupNorm semantics (`unet/unet3d.py:14,20`:
+    GroupNorm(4, C)); params named scale/bias like nn.GroupNorm."""
+
     num_groups: int = 4
-    dtype: Dtype = jnp.float32
-    # Compute in s2d coordinates: expects (B, D/2, H/2, W/2, 8*C_in)
-    # phase-major input, produces (..., 8*features).  Parameters are the
-    # NATIVE (3,3,3,C_in,features) kernels either way.
-    s2d_space: bool = False
+    epsilon: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
-        from hiddenpose_tpu.ops.space_to_depth import make_s2d_kernel
+        b, c = x.shape[:2]
+        g = min(self.num_groups, c)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xg = x.reshape(b, g, c // g, *x.shape[2:]).astype(jnp.float32)
+        mean = xg.mean(axis=(2, 3, 4, 5), keepdims=True)
+        var = xg.var(axis=(2, 3, 4, 5), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = xg.reshape(x.shape)
+        out = out * scale[None, :, None, None, None] \
+            + bias[None, :, None, None, None]
+        return out.astype(x.dtype)
 
-        for i in range(2):
-            if self.s2d_space:
-                c_in = x.shape[-1] // 8
-                kernel = self.param(
-                    f"conv{i + 1}_kernel",
-                    nn.initializers.lecun_normal(),
-                    (3, 3, 3, c_in, self.features),
-                )
-                bias = self.param(
-                    f"conv{i + 1}_bias", nn.initializers.zeros,
-                    (self.features,),
-                )
-                k2 = make_s2d_kernel(kernel.astype(self.dtype))
-                x = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype), k2, (1, 1, 1), "SAME",
-                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                    preferred_element_type=jnp.float32,
-                )
-                b_, d_, h_, w_, _ = x.shape
-                x = x.reshape(b_, d_, h_, w_, 8, self.features)
-                x = x + bias.astype(x.dtype)
-                x = nn.GroupNorm(
-                    num_groups=self.num_groups, name=f"gn{i + 1}"
-                )(x)
-                x = nn.relu(x).reshape(b_, d_, h_, w_, 8 * self.features)
-                x = x.astype(self.dtype)
-            else:
-                x = nn.Conv(
-                    self.features, (3, 3, 3), padding="SAME",
-                    dtype=self.dtype, name=f"conv{i + 1}",
-                )(x)
-                x = nn.GroupNorm(
-                    num_groups=self.num_groups, name=f"gn{i + 1}"
-                )(x)
-                x = nn.relu(x)
-        return x
+
+class DoubleConv(nn.Module):
+    """(conv3 SAME → GN(4) → ReLU) x 2 in planes layout.
+
+    Reference: `unet/unet3d.py:11-28`."""
+
+    features: int
+    num_groups: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, use_pallas: bool = False):
+        for i in (1, 2):
+            xp = StencilConv3(
+                self.features, pad_mode="zero", dtype=self.dtype,
+                name=f"conv{i}",
+            )(xp, use_pallas=use_pallas)
+            xp = GroupNormP(self.num_groups, name=f"gn{i}")(xp)
+            xp = nn.relu(xp)
+        return xp
+
+
+def max_pool2_planes(x):
+    """MaxPool3d(2, 2) on (B, C, D, H, W)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, 1, 2, 2, 2), (1, 1, 2, 2, 2), "VALID",
+    )
+
+
+def _interp_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:
+    if n_in == 1:
+        return np.ones((n_out, 1), dtype=np.float32)
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / max(n_out - 1, 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    hi = np.clip(lo + 1, 0, n_in - 1)
+    w_hi = pos - lo
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    mat[np.arange(n_out), lo] += 1.0 - w_hi
+    mat[np.arange(n_out), hi] += w_hi
+    return mat.astype(np.float32)
+
+
+def resize_trilinear_planes(x, out_dhw):
+    """Trilinear x2 resize (align_corners=True) of (B, C, D, H, W) — three
+    per-axis MXU matmuls (`unet/unet3d.py:47` nn.Upsample equivalent)."""
+    _, _, d, h, w = x.shape
+    od, oh, ow = out_dhw
+    md = jnp.asarray(_interp_matrix_align_corners(d, od))
+    mh = jnp.asarray(_interp_matrix_align_corners(h, oh))
+    mw = jnp.asarray(_interp_matrix_align_corners(w, ow))
+    x = jnp.einsum("Dd,bcdhw->bcDhw", md, x, preferred_element_type=x.dtype)
+    x = jnp.einsum("Hh,bcdhw->bcdHw", mh, x, preferred_element_type=x.dtype)
+    x = jnp.einsum("Ww,bcdhw->bcdhW", mw, x, preferred_element_type=x.dtype)
+    return x
 
 
 class UNet3d(nn.Module):
-    """in_channels -> in_channels, width n_channels (reference uses 1 -> 4)."""
+    """in_channels -> in_channels, width n_channels (reference uses 1 -> 4).
+
+    External API stays channels-last (B, D, H, W, C); pass ``train=True``
+    from training steps so convs keep the differentiable XLA path."""
 
     in_channels: int = 1
     n_channels: int = 4
     dtype: Dtype = jnp.float32
-    # Measured on v5e (128^3 b2): native 30 ms vs s2d-top 48 ms — unlike the
-    # posenet's 7^3 stem, XLA's lowering of 3^3 low-channel convs beats the
-    # s2d rewrite (the (.., 8, C) relayouts dominate).  Kept as an option;
-    # default off.
-    s2d_top: bool = False
 
     @nn.compact
-    def __call__(self, x):  # (B, D, H, W, in_channels)
-        from hiddenpose_tpu.ops.space_to_depth import space_to_depth_3d
-
+    def __call__(self, x, train: bool = False):  # (B, D, H, W, in_channels)
         n = self.n_channels
+        use_pallas = not train and on_tpu_default_device()
         dc = lambda f, name: DoubleConv(f, dtype=self.dtype, name=name)
 
-        use_s2d = (
-            self.s2d_top
-            and all(d % 2 == 0 and d >= 16 for d in x.shape[1:4])
-        )
+        xp = jnp.transpose(x, (0, 4, 1, 2, 3))  # planes
 
-        if use_s2d:
-            xs = space_to_depth_3d(x)  # (B, D/2, H/2, W/2, 8*C_in)
-            x1s = DoubleConv(
-                n, dtype=self.dtype, s2d_space=True, name="conv"
-            )(xs)  # (..., 8n) phase-major
-            b_, d_, h_, w_, _ = x1s.shape
-            # MaxPool(2,2) over the original grid = max over the phase axis.
-            pooled = x1s.reshape(b_, d_, h_, w_, 8, n).max(axis=4)
-            x1 = None
-        else:
-            x1 = dc(n, "conv")(x)
-            pooled = max_pool3d(x1, 2, 2)
-
-        x2 = dc(2 * n, "enc1")(pooled)
-        x3 = dc(4 * n, "enc2")(max_pool3d(x2, 2, 2))
-        x4 = dc(8 * n, "enc3")(max_pool3d(x3, 2, 2))
-        x5 = dc(8 * n, "enc4")(max_pool3d(x4, 2, 2))
+        x1 = dc(n, "conv")(xp, use_pallas)
+        x2 = dc(2 * n, "enc1")(max_pool2_planes(x1), use_pallas)
+        x3 = dc(4 * n, "enc2")(max_pool2_planes(x2), use_pallas)
+        x4 = dc(8 * n, "enc3")(max_pool2_planes(x3), use_pallas)
+        x5 = dc(8 * n, "enc4")(max_pool2_planes(x4), use_pallas)
 
         def up(lo, skip, f, name):
             # Trilinear x2 upsample, centre-pad to the skip's shape, concat.
             # (unet/unet3d.py:53-62)
-            lo = resize_trilinear(
-                lo, (2 * lo.shape[1], 2 * lo.shape[2], 2 * lo.shape[3])
+            lo = resize_trilinear_planes(
+                lo, (2 * lo.shape[2], 2 * lo.shape[3], 2 * lo.shape[4])
             )
-            pads = [(0, 0)]
-            for ax in (1, 2, 3):
+            pads = [(0, 0), (0, 0)]
+            for ax in (2, 3, 4):
                 diff = skip.shape[ax] - lo.shape[ax]
                 pads.append((diff // 2, diff - diff // 2))
-            pads.append((0, 0))
             lo = jnp.pad(lo, pads)
-            return dc(f, name)(jnp.concatenate([skip, lo], axis=-1))
+            return dc(f, name)(
+                jnp.concatenate([skip, lo], axis=1), use_pallas
+            )
 
         out = up(x5, x4, 4 * n, "dec1")
         out = up(out, x3, 2 * n, "dec2")
         out = up(out, x2, n, "dec3")
-
-        if use_s2d:
-            # Top decoder level in s2d space: upsample natively at small
-            # channel count, s2d, concat per-phase with the s2d skip.
-            lo = resize_trilinear(
-                out, (2 * out.shape[1], 2 * out.shape[2], 2 * out.shape[3])
-            )
-            los = space_to_depth_3d(lo)  # (..., 8n)
-            b_, d_, h_, w_, _ = los.shape
-            cat = jnp.concatenate(
-                [
-                    x1s.reshape(b_, d_, h_, w_, 8, n),
-                    los.reshape(b_, d_, h_, w_, 8, n),
-                ],
-                axis=-1,
-            ).reshape(b_, d_, h_, w_, 8 * 2 * n)
-            out = DoubleConv(
-                n, dtype=self.dtype, s2d_space=True, name="dec4"
-            )(cat)  # (..., 8n)
-            # 1x1x1 out conv in s2d space: per-phase shared weights.
-            w_out = self.param(
-                "out_kernel", nn.initializers.lecun_normal(),
-                (1, 1, 1, n, self.in_channels),
-            )
-            b_out = self.param(
-                "out_bias", nn.initializers.zeros, (self.in_channels,)
-            )
-            y = jnp.einsum(
-                "bdhwpc,co->bdhwpo",
-                out.reshape(b_, d_, h_, w_, 8, n).astype(self.dtype),
-                w_out[0, 0, 0].astype(self.dtype),
-            ) + b_out.astype(self.dtype)
-            from hiddenpose_tpu.ops.space_to_depth import depth_to_space_3d
-
-            return depth_to_space_3d(
-                y.reshape(b_, d_, h_, w_, 8 * self.in_channels)
-            )
-
         out = up(out, x1, n, "dec4")
-        return nn.Conv(
-            self.in_channels, (1, 1, 1), dtype=self.dtype, name="out"
+
+        # 1x1x1 out conv (`unet/unet3d.py:65-70`); 'out' scope keeps the
+        # round-1 nn.Conv param names so checkpoints restore unchanged.
+        y = OutConv1x1(
+            self.in_channels, dtype=self.dtype, name="out"
         )(out)
+        return jnp.transpose(y, (0, 2, 3, 4, 1))
+
+
+class OutConv1x1(nn.Module):
+    """1x1x1 conv on planes layout; params match nn.Conv ('kernel' of shape
+    (1, 1, 1, C_in, C_out), 'bias')."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        cin = xp.shape[1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, 1, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.einsum(
+            "bcdhw,co->bodhw", xp.astype(self.dtype),
+            kernel[0, 0, 0].astype(self.dtype),
+        )
+        return y + bias.astype(y.dtype)[None, :, None, None, None]

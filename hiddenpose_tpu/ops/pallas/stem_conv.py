@@ -137,8 +137,10 @@ def _stem_call(xp, k2, scale, bias, relu, out_dtype, w2):
     scale2 = scale.reshape(c_out, 1).astype(jnp.float32)
     bias2 = bias.reshape(c_out, 1).astype(jnp.float32)
 
+    from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+
     kernel = functools.partial(_stem_kernel, w_out=w2, relu=relu)
-    interpret = jax.default_backend() == "cpu"  # CI runs the interpreter
+    interpret = not on_tpu_default_device()  # CI runs the interpreter
     return pl.pallas_call(
         kernel,
         grid=(b, d2 // TD, h2 // TH),

@@ -55,6 +55,8 @@ def train(
     use_mesh: bool = True,
     viz_every: Optional[int] = None,
     viz_histograms: bool = False,
+    shard_index: int = 0,
+    shard_count: int = 1,
 ) -> TrainResult:
     logger = create_logger(cfg.log_dir, phase=cfg.phase)
     writer = MetricWriter(cfg.log_dir)
@@ -68,6 +70,8 @@ def train(
         shuffle=True,
         seed=cfg.train.seed,
         num_workers=cfg.num_workers,
+        shard_index=shard_index,
+        shard_count=shard_count,
     )
     steps_per_epoch = max_steps_per_epoch or len(pipeline)
 

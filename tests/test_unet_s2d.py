@@ -1,7 +1,9 @@
-"""UNet3d s2d_top variant: exact equivalence with the native path."""
+"""UNet3d planes-layout implementation (round 2): equivalence between the
+Pallas stencil-kernel inference path and the XLA path, plus odd-size
+robustness.  (Supersedes the round-1 s2d_top variant, which measured slower
+than native and was removed.)"""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -9,40 +11,44 @@ import jax.numpy as jnp
 from hiddenpose_tpu.models.unet3d import UNet3d
 
 
-def _copy_native_to_s2d(nat, s2d):
-    p = jax.tree.map(lambda a: a, s2d)
-    for blk in ("conv", "dec4"):
-        for i in (1, 2):
-            p[blk][f"conv{i}_kernel"] = nat[blk][f"conv{i}"]["kernel"]
-            p[blk][f"conv{i}_bias"] = nat[blk][f"conv{i}"]["bias"]
-            p[blk][f"gn{i}"] = nat[blk][f"gn{i}"]
-    p["out_kernel"] = nat["out"]["kernel"]
-    p["out_bias"] = nat["out"]["bias"]
-    for k in nat:
-        if k.startswith(("enc", "dec")) and k != "dec4":
-            p[k] = nat[k]
-    return p
+def test_doubleconv_pallas_path_matches_xla():
+    """One DoubleConv, same params: use_pallas (interpreted on CPU) vs XLA.
+    The full-UNet kernel path is exercised on real TPU hardware (bench);
+    interpret-mode over the whole net is minutes-slow on CI, so the CI
+    equivalence pin is per-block + the kernel tests in test_conv3p.py."""
+    from hiddenpose_tpu.models.unet3d import DoubleConv
 
-
-def test_unet_s2d_top_matches_native():
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(1, 16, 16, 16, 1).astype(np.float32))
-    m_nat = UNet3d(s2d_top=False)
-    m_s2d = UNet3d(s2d_top=True)
-    v_nat = jax.jit(m_nat.init)(jax.random.PRNGKey(0), x)
-    v_s2d = jax.jit(m_s2d.init)(jax.random.PRNGKey(0), x)
-    p = _copy_native_to_s2d(v_nat["params"], v_s2d["params"])
-    y_nat = m_nat.apply(v_nat, x)
-    y_s2d = m_s2d.apply({"params": p}, x)
+    xp = jnp.asarray(rng.rand(1, 1, 8, 16, 16).astype(np.float32))
+    m = DoubleConv(4)
+    v = jax.jit(lambda r, x: m.init(r, x, False))(jax.random.PRNGKey(0), xp)
+    y_xla = m.apply(v, xp, False)
+    y_pal = m.apply(v, xp, True)  # StencilConv3 -> conv3_planes (interpret)
     np.testing.assert_allclose(
-        np.asarray(y_s2d), np.asarray(y_nat), rtol=1e-4, atol=1e-5
+        np.asarray(y_pal), np.asarray(y_xla), rtol=1e-4, atol=1e-5
     )
 
 
-def test_unet_s2d_falls_back_on_odd_sizes():
-    # 12 is even but the bottleneck levels go odd (12->6->3) — the top-level
-    # guard only needs even D/H/W >= 16; at 12 it must fall back cleanly.
+def test_unet_odd_sizes_fall_back():
+    # 12 -> 6 -> 3: odd bottleneck levels; the conv gate must fall back to
+    # XLA cleanly (StencilConv3 eligibility requires H % 8 == 0).
     x = jnp.ones((1, 12, 12, 12, 1))
-    m = UNet3d(s2d_top=True)
+    m = UNet3d()
     v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
-    assert m.apply(v, x).shape == x.shape
+    y = m.apply(v, x)
+    assert y.shape == x.shape
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_unet_param_tree_stable():
+    """Round-1 param layout preserved (checkpoint compatibility)."""
+    x = jnp.ones((1, 16, 16, 16, 1))
+    v = jax.jit(UNet3d().init)(jax.random.PRNGKey(0), x)
+    p = v["params"]
+    for blk in ("conv", "enc1", "enc2", "enc3", "enc4",
+                "dec1", "dec2", "dec3", "dec4"):
+        assert set(p[blk]) == {"conv1", "conv2", "gn1", "gn2"}, blk
+        assert set(p[blk]["conv1"]) == {"kernel", "bias"}
+        assert set(p[blk]["gn1"]) == {"scale", "bias"}
+    assert set(p["out"]) == {"kernel", "bias"}
+    assert p["out"]["kernel"].shape == (1, 1, 1, 4, 1)

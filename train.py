@@ -39,6 +39,11 @@ def parse_args():
                         "the reference; auto-lowered for short runs)")
     p.add_argument("--size", type=int, default=128,
                    help="grid size (128 = reference config)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (coordinator/process "
+                        "config via HP_COORDINATOR/HP_NUM_PROCESSES/"
+                        "HP_PROCESS_ID or cloud auto-detection) and shard "
+                        "the data stream per process")
     return p.parse_args()
 
 
@@ -48,6 +53,14 @@ def main():
     from hiddenpose_tpu.config import t128_config
     from hiddenpose_tpu.data.dataset import NlosPoseSource, SyntheticSource
     from hiddenpose_tpu.train.loop import train
+
+    shard = None
+    if args.multihost:
+        from hiddenpose_tpu.parallel import distributed
+
+        distributed.initialize()
+        shard = distributed.process_info()
+        print(f"multihost: process {shard.shard_index}/{shard.shard_count}")
 
     cfg = t128_config() if args.size == 128 else \
         t128_config().tiny(args.size)
@@ -87,6 +100,8 @@ def main():
         workdir=args.model or cfg.final_output_dir,
         max_steps_per_epoch=args.steps_per_epoch,
         log_every=log_every,
+        shard_index=shard.shard_index if shard else 0,
+        shard_count=shard.shard_count if shard else 1,
     )
     print(f"finished training: {result.epochs_run} epochs, "
           f"final loss {float(result.last_metrics.get('loss', float('nan'))):.5f}")
