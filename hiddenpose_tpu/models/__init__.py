@@ -9,3 +9,7 @@ from hiddenpose_tpu.models.posenet3d import (  # noqa: F401
     get_pose_net_50,
 )
 from hiddenpose_tpu.models.unet3d import UNet3d  # noqa: F401
+from hiddenpose_tpu.models.deepvoxels import (  # noqa: F401
+    DeepVoxels,
+    build_deepvoxels,
+)

@@ -5,3 +5,4 @@ from hiddenpose_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from hiddenpose_tpu.parallel import distributed  # noqa: F401

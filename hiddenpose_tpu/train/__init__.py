@@ -5,3 +5,8 @@ from hiddenpose_tpu.train.step import (  # noqa: F401
     make_forward,
     make_train_step,
 )
+from hiddenpose_tpu.train.pretrain import (  # noqa: F401
+    freeze_autoencoder,
+    load_pretrained_autoencoder,
+    save_autoencoder,
+)
