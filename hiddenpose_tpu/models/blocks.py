@@ -290,7 +290,9 @@ class FeatureExtraction(nn.Module):
             and on_tpu_default_device()
             and x.shape[-1] * self.basedim <= 16
             and x.shape[2] % 8 == 0
-            and x.shape[3] <= 128
+            # hardware kernels need the full 128-lane W (Mosaic 5D
+            # dynamic-slice restriction, see StencilConv3)
+            and x.shape[3] == 128
         )
         if use_pallas or self.stride == 1:
             # Channels-planes pipeline: one boundary transpose each way

@@ -170,7 +170,11 @@ class StemS2D(nn.Module):
             and x.shape[-1] == 1
             and (x.shape[1] // 2) % 4 == 0
             and (x.shape[2] // 2) % 4 == 0
-            and x.shape[3] // 2 + 4 <= 128
+            # Mosaic on this toolchain rejects the kernel's lane slices
+            # below half-tile width (observed: "Slice shape along dimension
+            # 4 must be aligned to tiling (128), but is 64" at 64^3 input);
+            # the kernel targets the production 128-wide volumes.
+            and x.shape[3] // 2 == 64
         )
         y2 = None
         if not pallas_ok:

@@ -71,6 +71,9 @@ def make_eval_step(model: NlosPose):
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["meas"], lct, train=False,
         )
+        # see make_forward: guards an XLA layout-assignment bug in the
+        # fused heatmap->soft-argmax transposes at some grid sizes.
+        heatmaps = jax.lax.optimization_barrier(heatmaps)
         num_joints = heatmaps.shape[1]
         preds = softmax_integral(heatmaps, num_joints)
         out = {"pred_joints": preds, "heatmaps": heatmaps, "refine": refine}
@@ -89,6 +92,11 @@ def make_forward(model: NlosPose):
 
     def forward(variables, meas, lct: LCTParams):
         heatmaps, _ = model.apply(variables, meas, lct, train=False)
+        # optimization_barrier: without it XLA's layout assignment on this
+        # toolchain trips over the fused heatmap->marginal transposes at
+        # some grid sizes ("Expected instruction to have shape f32[32,24],
+        # actual f32[24,32]{T(8,128)}" post-optimization error at 64^3).
+        heatmaps = jax.lax.optimization_barrier(heatmaps)
         return softmax_integral(heatmaps, heatmaps.shape[1]), heatmaps
 
     return jax.jit(forward)
