@@ -39,7 +39,7 @@ PATCH_PAD = 1024
 
 
 def _stem_kernel(x_hbm, kt_ref, scale_ref, bias_ref, o_ref, x_tile, patches,
-                 sem, *, w_out: int, relu: bool):
+                 sem, *, w_out: int, relu: bool, dot_bf16: bool):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -68,11 +68,19 @@ def _stem_kernel(x_hbm, kt_ref, scale_ref, bias_ref, o_ref, x_tile, patches,
                 )
 
     # 16 MXU matmuls: (C_out, 1024) @ (1024, w_out), + affine + relu.
+    kt = kt_ref[:, :]
+    if dot_bf16:
+        kt = kt.astype(jnp.bfloat16)
     for d in range(TD):
         for h in range(TH):
             p_dh = patches[:, d * TH + h, :]
+            if dot_bf16:
+                # bf16 inputs, f32 accumulation: 2x MXU throughput at
+                # ~0.4% rel error — the same trade XLA's default-precision
+                # convs make everywhere else in the network.
+                p_dh = p_dh.astype(jnp.bfloat16)
             out = jnp.dot(
-                kt_ref[:, :], p_dh, preferred_element_type=jnp.float32
+                kt, p_dh, preferred_element_type=jnp.float32
             )
             out = out * scale_ref[:, 0:1] + bias_ref[:, 0:1]
             if relu:
@@ -80,13 +88,14 @@ def _stem_kernel(x_hbm, kt_ref, scale_ref, bias_ref, o_ref, x_tile, patches,
             o_ref[0, d, h, :, :] = out.T.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("relu",))
+@functools.partial(jax.jit, static_argnames=("relu", "dot_bf16"))
 def stem_conv_raw_pallas(
     x: jax.Array,
     k2: jax.Array,
     scale: jax.Array,
     bias: jax.Array,
     relu: bool = True,
+    dot_bf16: bool = False,
 ) -> jax.Array:
     """Full-resolution entry: x (B, D, H, W, 1) raw volume → one fused
     transpose builds the channel-planes layout directly (the same single
@@ -100,16 +109,17 @@ def stem_conv_raw_pallas(
     )
     w2 = w // 2
     xp = jnp.pad(xp, ((0, 0), (0, 0), (2, 2), (2, 2), (2, 128 - w2 - 2)))
-    return _stem_call(xp, k2, scale, bias, relu, x.dtype, w2)
+    return _stem_call(xp, k2, scale, bias, relu, x.dtype, w2, dot_bf16)
 
 
-@functools.partial(jax.jit, static_argnames=("relu",))
+@functools.partial(jax.jit, static_argnames=("relu", "dot_bf16"))
 def stem_conv_s2d_pallas(
     x2: jax.Array,
     k2: jax.Array,
     scale: jax.Array,
     bias: jax.Array,
     relu: bool = True,
+    dot_bf16: bool = False,
 ) -> jax.Array:
     """x2: (B, D2, H2, W2, 8) s2d input; k2: (5, 5, 5, 8, C_out) s2d kernel;
     scale/bias: (C_out,) folded BN affine.  Returns (B, D2, H2, W2, C_out).
@@ -122,10 +132,10 @@ def stem_conv_s2d_pallas(
     xp = jnp.pad(
         xp, ((0, 0), (0, 0), (2, 2), (2, 2), (2, 128 - w2 - 2))
     )  # (B, 8, D2+4, H2+4, 128)
-    return _stem_call(xp, k2, scale, bias, relu, x2.dtype, w2)
+    return _stem_call(xp, k2, scale, bias, relu, x2.dtype, w2, dot_bf16)
 
 
-def _stem_call(xp, k2, scale, bias, relu, out_dtype, w2):
+def _stem_call(xp, k2, scale, bias, relu, out_dtype, w2, dot_bf16=False):
     b = xp.shape[0]
     d2, h2 = xp.shape[2] - 4, xp.shape[3] - 4
     assert d2 % TD == 0 and h2 % TH == 0
@@ -139,7 +149,7 @@ def _stem_call(xp, k2, scale, bias, relu, out_dtype, w2):
 
     from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
 
-    kernel = functools.partial(_stem_kernel, w_out=w2, relu=relu)
+    kernel = functools.partial(_stem_kernel, w_out=w2, relu=relu, dot_bf16=dot_bf16)
     interpret = not on_tpu_default_device()  # CI runs the interpreter
     return pl.pallas_call(
         kernel,

@@ -107,30 +107,46 @@ def phase_maxpool_k3s2(y2: jax.Array) -> jax.Array:
     — so the pool is a separable 3-way max over shifted phase slices,
     avoiding the depth-to-space materialisation of the full-resolution
     tensor.  Returns (B, D/2, H/2, W/2, C).
+
+    TPU layout note (the round-1 "stem residue"): this used to reshape the
+    trailing 8*C axis to (2, 2, 2, C), which SPLITS the lane dimension —
+    at the stem's (64^3, 512) output that is a full ~0.5 GB relayout and
+    cost 15-20 ms.  Phases are instead addressed as static C-wide LANE
+    RANGES of the (..., 8*C) tensor, so the whole pool is slices, spatial
+    shifts and maxes that XLA fuses into one pass, with the layout intact.
     """
     b, d, h, w, pc = y2.shape
     c = pc // 8
-    v = y2.reshape(b, d, h, w, 2, 2, 2, c)
+    neg_inf = jnp.asarray(-jnp.inf, y2.dtype)
 
-    neg_inf = jnp.asarray(-jnp.inf, v.dtype)
+    def phase(pd, ph, pw):
+        p = (pd * 2 + ph) * 2 + pw
+        return y2[..., p * c:(p + 1) * c]
 
-    def axis_max(v, block_axis: int, phase_axis: int):
-        a0 = jax.lax.index_in_dim(v, 0, phase_axis, keepdims=False)
-        a1 = jax.lax.index_in_dim(v, 1, phase_axis, keepdims=False)
-        # shift phase-1 forward one block (original index 2m-1), -inf fill
-        pad = [(0, 0)] * a1.ndim
-        pad[block_axis] = (1, 0)
-        a1s = jnp.pad(a1, pad, constant_values=neg_inf)
-        sl = [slice(None)] * a1.ndim
-        sl[block_axis] = slice(0, a1.shape[block_axis])
-        a1s = a1s[tuple(sl)]
-        return jnp.maximum(jnp.maximum(a0, a1), a1s)
+    def shift(t, axis):
+        """One block forward along a spatial axis (-inf fill at the front:
+        the m-1 candidate of output block 0 lies outside the volume)."""
+        pad = [(0, 0)] * t.ndim
+        pad[axis] = (1, 0)
+        t = jnp.pad(t, pad, constant_values=neg_inf)
+        sl = [slice(None)] * t.ndim
+        sl[axis] = slice(0, t.shape[axis] - 1)
+        return t[tuple(sl)]
 
-    # Consume phase axes innermost-first so block-axis indices stay fixed.
-    v = axis_max(v, block_axis=3, phase_axis=6)  # w: (b,d,h,w,2,2,c)
-    v = axis_max(v, block_axis=2, phase_axis=5)  # h: (b,d,h,w,2,c)
-    v = axis_max(v, block_axis=1, phase_axis=4)  # d: (b,d,h,w,c)
-    return v
+    # Separable per-axis max: w first (innermost), then h, then d.  Each
+    # stage keeps phase-major lane ranges for the remaining axes.
+    def axis_reduce(get, axis):
+        """get(p) -> tensor for phase bit p of `axis`; 3 candidates."""
+        a0, a1 = get(0), get(1)
+        return jnp.maximum(jnp.maximum(a0, a1), shift(a1, axis))
+
+    def w_stage(pd, ph):
+        return axis_reduce(lambda pw: phase(pd, ph, pw), axis=3)
+
+    def h_stage(pd):
+        return axis_reduce(lambda ph: w_stage(pd, ph), axis=2)
+
+    return axis_reduce(h_stage, axis=1)
 
 
 def conv3d_s2d(
