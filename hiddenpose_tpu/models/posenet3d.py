@@ -42,9 +42,15 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         train = self.train
+        # Explicit torch-convention padding (k//2 per side): at stride 2,
+        # XLA "SAME" pads (0, 1) and samples positions 0,2,4,... while the
+        # reference's Conv3d(k3, s2, p1) samples -1,1,3,...
+        # (`posenet3d_50.py:13-23`) — a one-voxel shift that breaks
+        # checkpoint-import parity (tests/test_torch_import.py).
         conv = lambda f, k, s, name: nn.Conv(
-            f, (k,) * 3, strides=(s,) * 3, padding="SAME", use_bias=False,
-            kernel_init=kaiming_out_normal, dtype=self.dtype, name=name,
+            f, (k,) * 3, strides=(s,) * 3, padding=((k // 2, k // 2),) * 3,
+            use_bias=False, kernel_init=kaiming_out_normal, dtype=self.dtype,
+            name=name,
         )
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
@@ -75,9 +81,11 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         train = self.train
+        # torch-convention padding — see Bottleneck.
         conv = lambda f, k, s, name: nn.Conv(
-            f, (k,) * 3, strides=(s,) * 3, padding="SAME", use_bias=False,
-            kernel_init=kaiming_out_normal, dtype=self.dtype, name=name,
+            f, (k,) * 3, strides=(s,) * 3, padding=((k // 2, k // 2),) * 3,
+            use_bias=False, kernel_init=kaiming_out_normal, dtype=self.dtype,
+            name=name,
         )
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,

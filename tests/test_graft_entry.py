@@ -3,6 +3,9 @@
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
 
 
 def test_entry_contract():

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
+
 from hiddenpose_tpu.config import default_config
 
 SIZE = 16

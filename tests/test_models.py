@@ -7,6 +7,8 @@ Mirrors the reference's inline smoke blocks (`models/NlosPose.py:62-66`,
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
+
 import jax
 import jax.numpy as jnp
 

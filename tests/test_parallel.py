@@ -5,6 +5,8 @@ driver's dryrun_multichip path."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

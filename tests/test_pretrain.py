@@ -10,6 +10,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
+
 import jax
 import jax.numpy as jnp
 

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
+
 import jax
 import jax.numpy as jnp
 

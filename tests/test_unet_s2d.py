@@ -4,6 +4,9 @@ robustness.  (Supersedes the round-1 s2d_top variant, which measured slower
 than native and was removed.)"""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core CI host
 
 import jax
 import jax.numpy as jnp
