@@ -178,7 +178,7 @@ class StencilConv3(nn.Module):
     def __call__(self, xp, residual=None, act: str = "none",
                  use_pallas: bool = False):
         from hiddenpose_tpu.ops.pallas.conv3p import (
-            conv3_planes,
+            conv3_planes_diff,
             conv3_planes_xla,
         )
 
@@ -191,17 +191,19 @@ class StencilConv3(nn.Module):
         eligible = (
             use_pallas
             and xp.shape[-1] <= 128
+            # below 32 lanes the padded tile is mostly idle; XLA wins
+            # (round-3: the 4D-ref rewrite dodged the Mosaic 5D
+            # dynamic-slice bug, so 64- and 32-lane volumes now run the
+            # hardware kernel — ROADMAP #4)
+            and xp.shape[-1] >= 32
             and xp.shape[-2] % 8 == 0
             # compile-time bound: the kernel body unrolls 27*cin*cout FMAs
             and cin * self.features <= 32
-            # Mosaic bug on this toolchain: dynamic memref_slice of a 5D
-            # VMEM ref whose lane (W) extent is < 128 dies in the compiler;
-            # the sub-128-lane levels fall back to XLA on hardware (the
-            # interpreter used by CPU tests is unaffected).
-            and (xp.shape[-1] == 128 or not on_tpu_default_device())
         )
         if eligible:
-            return conv3_planes(
+            # custom-VJP wrapper: identical kernel forward; the backward
+            # runs the Pallas adjoint stencil, so training stays kernelled.
+            return conv3_planes_diff(
                 xp, kernel, bias, residual, act=act, pad_mode=self.pad_mode
             ).astype(self.dtype)
         # Training / CPU path: plain conv (default MXU precision, like the
@@ -282,17 +284,17 @@ class FeatureExtraction(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # x: (B, D, H, W, 1)
-        from hiddenpose_tpu.ops.pallas.conv3p import conv3_planes
+        from hiddenpose_tpu.ops.pallas.conv3p import conv3_planes_diff
 
+        # Pallas in training too (round 3): StencilConv3 routes through the
+        # custom-VJP wrapper, so the backward is the adjoint stencil kernel.
         use_pallas = (
-            not train
-            and self.stride == 1
+            self.stride == 1
             and on_tpu_default_device()
             and x.shape[-1] * self.basedim <= 16
             and x.shape[2] % 8 == 0
-            # hardware kernels need the full 128-lane W (Mosaic 5D
-            # dynamic-slice restriction, see StencilConv3)
-            and x.shape[3] == 128
+            # 4D-ref kernels run down to 32 lanes (see StencilConv3)
+            and x.shape[3] >= 32
         )
         if use_pallas or self.stride == 1:
             # Channels-planes pipeline: one boundary transpose each way
@@ -315,7 +317,7 @@ class FeatureExtraction(nn.Module):
                 "corner_kernel", corner_mask_init, (3, 3, 3, x.shape[-1], 1)
             )
             if use_pallas:
-                h2 = conv3_planes(
+                h2 = conv3_planes_diff(
                     xp.astype(self.dtype), corner.astype(self.dtype),
                     pad_mode="zero",
                 )

@@ -38,9 +38,16 @@ from hiddenpose_tpu.ops.normalize import normalize_feature_last
 
 
 class NlosPose(nn.Module):
-    """cfg is the static ModelConfig (frozen dataclass → hashable)."""
+    """cfg is the static ModelConfig (frozen dataclass → hashable).
+
+    ``spatial_mesh``: optional `jax.sharding.Mesh` (hashable → a static
+    attribute).  When set, the LCT's padded FFT cube is spatially sharded
+    over the mesh's 'model' axis (`ops/lct.py::lct_apply_sharded`) — the
+    SURVEY §2.6 TP/SP decomposition for configs whose padded spectrum
+    exceeds one chip's HBM (256^3 batch>2)."""
 
     cfg: ModelConfig
+    spatial_mesh: Any = None
 
     def setup(self):
         c = self.cfg
@@ -98,9 +105,17 @@ class NlosPose(nn.Module):
         )
         # Recompute the FFT chain in the backward pass instead of storing
         # the 2x-padded complex spectra (~0.5 GB per sample at 128^3).
-        vol = jax.checkpoint(
-            lambda m, p: lct_apply(m, p, batch_chunk=c.lct_batch_chunk)
-        )(flat, lct)
+        if self.spatial_mesh is not None:
+            from hiddenpose_tpu.ops.lct import lct_apply_sharded
+
+            mesh = self.spatial_mesh
+            vol = jax.checkpoint(
+                lambda m, p: lct_apply_sharded(m, p, mesh)
+            )(flat, lct)
+        else:
+            vol = jax.checkpoint(
+                lambda m, p: lct_apply(m, p, batch_chunk=c.lct_batch_chunk)
+            )(flat, lct)
         vol = vol.reshape(b, ch, *vol.shape[1:]).transpose(0, 2, 3, 4, 1)
 
         feature = normalize_feature_last(vol)  # (B, T, H, W, ch)
@@ -126,12 +141,14 @@ class NlosPose(nn.Module):
         return heatmaps, refine
 
 
-def build_nlospose(cfg: ModelConfig) -> Tuple[NlosPose, LCTParams]:
+def build_nlospose(
+    cfg: ModelConfig, spatial_mesh=None
+) -> Tuple[NlosPose, LCTParams]:
     """Construct the model plus its physics constants.
 
     Mirrors the wiring of `models/NlosPose.py:20-32`: LCT configured with
     (time_size, image_size[0], wall_size, bin_len)."""
-    model = NlosPose(cfg)
+    model = NlosPose(cfg, spatial_mesh=spatial_mesh)
     lct = make_lct_params(
         image_size=cfg.image_size[0],
         time_size=cfg.time_size,

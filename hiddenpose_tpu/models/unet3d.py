@@ -35,11 +35,13 @@ Dtype = Any
 class GroupNormP(nn.Module):
     """GroupNorm over a channels-planes (B, C, D, H, W) volume.
 
-    Matches torch/flax GroupNorm semantics (`unet/unet3d.py:14,20`:
-    GroupNorm(4, C)); params named scale/bias like nn.GroupNorm."""
+    Matches torch GroupNorm semantics (`unet/unet3d.py:14,20`:
+    GroupNorm(4, C)); params named scale/bias like nn.GroupNorm.
+    epsilon is torch's 1e-5 default (flax's is 1e-6) — checkpoint-import
+    parity (`tests/test_torch_import.py`) pins this."""
 
     num_groups: int = 4
-    epsilon: float = 1e-6
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -126,7 +128,9 @@ class UNet3d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):  # (B, D, H, W, in_channels)
         n = self.n_channels
-        use_pallas = not train and on_tpu_default_device()
+        # Round 3: the convs go through StencilConv3 -> conv3_planes_diff
+        # (custom VJP), so the kernel path stays on for training as well.
+        use_pallas = on_tpu_default_device()
         dc = lambda f, name: DoubleConv(f, dtype=self.dtype, name=name)
 
         xp = jnp.transpose(x, (0, 4, 1, 2, 3))  # planes

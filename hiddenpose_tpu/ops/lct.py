@@ -227,6 +227,95 @@ def lct_apply(
     return vol
 
 
+def lct_apply_sharded(
+    meas: jax.Array,
+    params: LCTParams,
+    mesh,
+    *,
+    time_begin: int = 0,
+    time_end: Optional[int] = None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> jax.Array:
+    """`lct_apply` with the padded FFT cube spatially sharded over a mesh.
+
+    SURVEY §2.6 names sharding the (2T, 2H, 2W) cube as the one meaningful
+    TP/SP decomposition in this workload: at 256^3 the padded f32 buffer is
+    512 MB/sample plus a one-sided complex spectrum of the same order —
+    batch 4 cannot fit one v5e chip (16 GB) unsharded.
+
+    Decomposition (hand-rolled distributed FFT; XLA's SPMD partitioner
+    would all-gather around `fftn` instead of transposing):
+
+      1. shard H of the padded cube over ``model_axis`` (batch over
+         ``data_axis``); rFFT over W and FFT over T are shard-local;
+      2. `all_to_all` transposes the shards H→T (one ICI collective moving
+         each shard once);
+      3. FFT over the now-local H; Wiener multiply against the
+         T-sharded inverse-PSF slab; iFFT over H;
+      4. `all_to_all` back T→H; local iFFT over T + irFFT over W.
+
+    Per-shard peak memory is 1/n_model of the unsharded filtering section;
+    numerics are exact (same flops, same order — verified vs `lct_apply`
+    in `tests/test_parallel.py`).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    T = params.time_size
+    N = params.image_size
+    if time_end is None:
+        time_end = time_begin + meas.shape[1]
+    x = embed_time_window(meas, time_begin, time_end, T)
+    b = x.shape[0]
+    assert x.shape == (b, T, N, N), f"bad meas shape {x.shape}"
+    n_model = mesh.shape[model_axis]
+    assert (2 * N) % n_model == 0 and (2 * T) % n_model == 0
+
+    x = x.astype(jnp.float32)
+    power = 4 if params.material == "diffuse" else 2
+    x = x * (params.gridz ** power)[None, :, None, None]
+    x = _resample(params.mtx, x)
+
+    pad = jnp.zeros((b, 2 * T, 2 * N, 2 * N), dtype=jnp.float32)
+    pad = jax.lax.dynamic_update_slice(pad, x, (0, 0, 0, 0))
+    pad = jax.lax.with_sharding_constraint(
+        pad, NamedSharding(mesh, P(data_axis, None, model_axis, None))
+    )
+
+    def fft_block(pad_l, pr_l, pi_l):
+        f = jnp.fft.rfft(pad_l, axis=3)
+        f = jnp.fft.fft(f, axis=1)
+        f = jax.lax.all_to_all(
+            f, model_axis, split_axis=1, concat_axis=2, tiled=True
+        )
+        f = jnp.fft.fft(f, axis=2)
+        f = f * jax.lax.complex(pr_l, pi_l)[None]
+        f = jnp.fft.ifft(f, axis=2)
+        f = jax.lax.all_to_all(
+            f, model_axis, split_axis=2, concat_axis=1, tiled=True
+        )
+        f = jnp.fft.ifft(f, axis=1)
+        return jnp.fft.irfft(f, n=pad_l.shape[3], axis=3)
+
+    vol = jax.shard_map(
+        fft_block,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None, model_axis, None),
+            P(model_axis, None, None),
+            P(model_axis, None, None),
+        ),
+        out_specs=P(data_axis, None, model_axis, None),
+        # FFT's transpose rule produces cotangents without varying-manual-
+        # axes annotations; the vma checker rejects them under autodiff
+        # (training differentiates through this block).
+        check_vma=False,
+    )(pad, params.invpsf_real, params.invpsf_imag)
+
+    vol = vol[:, :T, :N, :N]
+    return _resample(params.mtxi, vol)
+
+
 def lct_apply_bdthw(
     meas: jax.Array,
     params: LCTParams,

@@ -38,8 +38,22 @@ PATCH = KS * KS * KS * CIN  # 1000
 PATCH_PAD = 1024
 
 
+def _paired_enabled() -> bool:
+    """Gate for the 128-lane paired-d-planes matmul packing.
+
+    Interpret-mode (CPU) tests prove the algorithm exact, but the first
+    on-chip run measured 2.3e-3 rel err vs XLA-HIGHEST (tpu_validate_r3),
+    consistent with a Mosaic mis-lowering of one of the offset-lane
+    vector stores — OFF by default until the hardware diagnostic isolates
+    and dodges the culprit op."""
+    import os
+
+    return os.environ.get("HP_STEM_PAIRED", "0") == "1"
+
+
 def _stem_kernel(x_hbm, kt_ref, scale_ref, bias_ref, o_ref, x_tile, patches,
-                 sem, *, w_out: int, relu: bool, dot_bf16: bool):
+                 sem, *, w_out: int, relu: bool, dot_bf16: bool,
+                 paired_ok: bool):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -52,43 +66,72 @@ def _stem_kernel(x_hbm, kt_ref, scale_ref, bias_ref, o_ref, x_tile, patches,
     dma.start()
     dma.wait()
 
+    paired = w_out == 64 and paired_ok  # pack 2 d-planes per matmul
+
     # Zero the contraction-padding rows once (uninitialised scratch).
+    n_cols = TD // 2 * TH if paired else TD * TH
+    n_lanes = 128 if paired else w_out
     patches[PATCH:, :, :] = jnp.zeros(
-        (PATCH_PAD - PATCH, TD * TH, w_out), jnp.float32
+        (PATCH_PAD - PATCH, n_cols, n_lanes), jnp.float32
     )
 
-    # im2col (transposed): rows = (tap, c_in), cols = ((d, h), w).
+    # im2col (transposed): rows = (tap, c_in).
+    # Round-2 left the MXU half idle: one matmul per (d, h) position put
+    # only w_out = 64 of 128 lanes to work (ROADMAP #1).  Packed layout:
+    # cols = (d-pair, h), lanes = (d-lsb, w) — two consecutive d planes
+    # share one 128-lane matmul, so N is fully utilised.  The per-tap
+    # write splits into TD single-plane copies (leading-dim indexing only;
+    # no lane-splitting reshapes — Mosaic-legal on this toolchain).
     for ad in range(KS):
         for ah in range(KS):
             for aw in range(KS):
                 off = ((ad * KS + ah) * KS + aw) * CIN
-                sl = x_tile[:, ad:ad + TD, ah:ah + TH, aw:aw + w_out]
-                patches[off:off + CIN, :, :] = sl.reshape(
-                    CIN, TD * TH, w_out
-                )
+                if paired:
+                    for dd in range(TD):
+                        d2, lsb = dd // 2, dd % 2
+                        patches[
+                            off:off + CIN, d2 * TH:(d2 + 1) * TH,
+                            lsb * 64:(lsb + 1) * 64,
+                        ] = x_tile[:, ad + dd, ah:ah + TH, aw:aw + w_out]
+                else:
+                    sl = x_tile[:, ad:ad + TD, ah:ah + TH, aw:aw + w_out]
+                    patches[off:off + CIN, :, :] = sl.reshape(
+                        CIN, TD * TH, w_out
+                    )
 
-    # 16 MXU matmuls: (C_out, 1024) @ (1024, w_out), + affine + relu.
+    # MXU matmuls: (C_out, 1024) @ (1024, n_lanes), + affine + relu.
     kt = kt_ref[:, :]
     if dot_bf16:
         kt = kt.astype(jnp.bfloat16)
-    for d in range(TD):
-        for h in range(TH):
-            p_dh = patches[:, d * TH + h, :]
-            if dot_bf16:
-                # bf16 inputs, f32 accumulation: 2x MXU throughput at
-                # ~0.4% rel error — the same trade XLA's default-precision
-                # convs make everywhere else in the network.
-                p_dh = p_dh.astype(jnp.bfloat16)
-            out = jnp.dot(
-                kt, p_dh, preferred_element_type=jnp.float32
+
+    def matmul(cols):
+        if dot_bf16:
+            # bf16 inputs, f32 accumulation: 2x MXU throughput at
+            # ~0.4% rel error — the same trade XLA's default-precision
+            # convs make everywhere else in the network.
+            cols = cols.astype(jnp.bfloat16)
+        out = jnp.dot(kt, cols, preferred_element_type=jnp.float32)
+        out = out * scale_ref[:, 0:1] + bias_ref[:, 0:1]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        return out
+
+    if paired:
+        for p in range(TD // 2 * TH):
+            d2, h = p // TH, p % TH
+            out = matmul(patches[:, p, :])  # (C_out, 128)
+            o_ref[0, 2 * d2, h, :, :] = out[:, 0:64].T.astype(o_ref.dtype)
+            o_ref[0, 2 * d2 + 1, h, :, :] = (
+                out[:, 64:128].T.astype(o_ref.dtype)
             )
-            out = out * scale_ref[:, 0:1] + bias_ref[:, 0:1]
-            if relu:
-                out = jnp.maximum(out, 0.0)
-            o_ref[0, d, h, :, :] = out.T.astype(o_ref.dtype)
+    else:
+        for d in range(TD):
+            for h in range(TH):
+                out = matmul(patches[:, d * TH + h, :])
+                o_ref[0, d, h, :, :] = out.T.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "dot_bf16"))
+@functools.partial(jax.jit, static_argnames=("relu", "dot_bf16", "paired"))
 def stem_conv_raw_pallas(
     x: jax.Array,
     k2: jax.Array,
@@ -96,6 +139,7 @@ def stem_conv_raw_pallas(
     bias: jax.Array,
     relu: bool = True,
     dot_bf16: bool = False,
+    paired: bool | None = None,
 ) -> jax.Array:
     """Full-resolution entry: x (B, D, H, W, 1) raw volume → one fused
     transpose builds the channel-planes layout directly (the same single
@@ -109,10 +153,11 @@ def stem_conv_raw_pallas(
     )
     w2 = w // 2
     xp = jnp.pad(xp, ((0, 0), (0, 0), (2, 2), (2, 2), (2, 128 - w2 - 2)))
-    return _stem_call(xp, k2, scale, bias, relu, x.dtype, w2, dot_bf16)
+    return _stem_call(xp, k2, scale, bias, relu, x.dtype, w2, dot_bf16,
+                      paired)
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "dot_bf16"))
+@functools.partial(jax.jit, static_argnames=("relu", "dot_bf16", "paired"))
 def stem_conv_s2d_pallas(
     x2: jax.Array,
     k2: jax.Array,
@@ -120,6 +165,7 @@ def stem_conv_s2d_pallas(
     bias: jax.Array,
     relu: bool = True,
     dot_bf16: bool = False,
+    paired: bool | None = None,
 ) -> jax.Array:
     """x2: (B, D2, H2, W2, 8) s2d input; k2: (5, 5, 5, 8, C_out) s2d kernel;
     scale/bias: (C_out,) folded BN affine.  Returns (B, D2, H2, W2, C_out).
@@ -132,10 +178,14 @@ def stem_conv_s2d_pallas(
     xp = jnp.pad(
         xp, ((0, 0), (0, 0), (2, 2), (2, 2), (2, 128 - w2 - 2))
     )  # (B, 8, D2+4, H2+4, 128)
-    return _stem_call(xp, k2, scale, bias, relu, x2.dtype, w2, dot_bf16)
+    return _stem_call(xp, k2, scale, bias, relu, x2.dtype, w2, dot_bf16,
+                      paired)
 
 
-def _stem_call(xp, k2, scale, bias, relu, out_dtype, w2, dot_bf16=False):
+def _stem_call(xp, k2, scale, bias, relu, out_dtype, w2, dot_bf16=False,
+               paired=None):
+    if paired is None:
+        paired = _paired_enabled()
     b = xp.shape[0]
     d2, h2 = xp.shape[2] - 4, xp.shape[3] - 4
     assert d2 % TD == 0 and h2 % TH == 0
@@ -149,7 +199,8 @@ def _stem_call(xp, k2, scale, bias, relu, out_dtype, w2, dot_bf16=False):
 
     from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
 
-    kernel = functools.partial(_stem_kernel, w_out=w2, relu=relu, dot_bf16=dot_bf16)
+    kernel = functools.partial(_stem_kernel, w_out=w2, relu=relu,
+                               dot_bf16=dot_bf16, paired_ok=paired)
     interpret = not on_tpu_default_device()  # CI runs the interpreter
     return pl.pallas_call(
         kernel,
@@ -167,7 +218,12 @@ def _stem_call(xp, k2, scale, bias, relu, out_dtype, w2, dot_bf16=False):
         out_shape=jax.ShapeDtypeStruct((b, d2, h2, w2, c_out), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((CIN, TD + 4, TH + 4, 128), jnp.float32),
-            pltpu.VMEM((PATCH_PAD, TD * TH, w2), jnp.float32),
+            pltpu.VMEM(
+                (PATCH_PAD, TD // 2 * TH, 128)
+                if (w2 == 64 and paired)
+                else (PATCH_PAD, TD * TH, w2),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

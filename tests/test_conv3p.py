@@ -66,3 +66,72 @@ def test_conv3p_depth_not_divisible_by_big_tile():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable path (round 3): custom-VJP gradients vs XLA autodiff.
+# ---------------------------------------------------------------------------
+
+from hiddenpose_tpu.ops.pallas.conv3p import conv3_planes_diff
+
+
+@pytest.mark.parametrize(
+    "cin,cout,act,pad_mode,res,bias,d",
+    [
+        (1, 1, "none", "zero", False, True, 8),
+        (1, 1, "leaky", "edge", True, True, 8),
+        (2, 3, "relu", "zero", False, False, 8),
+        (1, 4, "leaky", "edge", False, True, 8),
+        # multi-tile D (td_override=4 -> nd=2): exercises the halo DMA
+        # branches and the D-axis edge-boundary accumulation epilogues.
+        (2, 2, "leaky", "edge", True, True, 16),
+        (1, 2, "none", "edge", False, False, 16),
+        (2, 1, "relu", "zero", True, True, 16),
+    ],
+)
+def test_conv3p_diff_grads_match_xla(cin, cout, act, pad_mode, res, bias, d):
+    h, w = 16, 32
+    x, k, b, r, _, _ = _case(cin, cout, d, h, w, res)
+    if not bias:
+        b = None
+    td = 4 if d == 16 else None
+    cot = jnp.asarray(RNG.randn(2, cout, d, h, w).astype(np.float32))
+
+    def f_pallas(x, k, b, r):
+        out = conv3_planes_diff(x, k, b, r, act=act, pad_mode=pad_mode,
+                                interpret=True, td_override=td)
+        return jnp.sum(out * cot)
+
+    def f_xla(x, k, b, r):
+        out = conv3_planes_xla(x, k, b, r, act=act, pad_mode=pad_mode)
+        return jnp.sum(out * cot)
+
+    args = (x, k) + ((b,) if b is not None else ()) + ((r,) if r is not None else ())
+
+    def wrap(f):
+        def g(*a):
+            it = iter(a)
+            xx, kk = next(it), next(it)
+            bb = next(it) if b is not None else None
+            rr = next(it) if r is not None else None
+            return f(xx, kk, bb, rr)
+        return g
+
+    grads_p = jax.grad(wrap(f_pallas), argnums=tuple(range(len(args))))(*args)
+    grads_x = jax.grad(wrap(f_xla), argnums=tuple(range(len(args))))(*args)
+    names = ["dx", "dk"] + (["db"] if b is not None else []) \
+        + (["dres"] if r is not None else [])
+    for name, gp, gx in zip(names, grads_p, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=2e-4, atol=2e-4,
+            err_msg=f"{name} mismatch ({cin},{cout},{act},{pad_mode})",
+        )
+
+
+def test_conv3p_diff_forward_matches_nondiff():
+    x, k, b, r, _, _ = _case(2, 2, 8, 16, 32, res=True)
+    got = conv3_planes_diff(x, k, b, r, act="leaky", pad_mode="edge",
+                            interpret=True)
+    want = conv3_planes(x, k, b, r, act="leaky", pad_mode="edge",
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)

@@ -69,3 +69,28 @@ def test_stem_conv_pallas_no_relu():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
     )
+
+
+def test_stem_conv_pallas_paired_lanes(monkeypatch):
+    """w2 == 64 (production width): the packed 2-planes-per-matmul path."""
+    monkeypatch.setenv("HP_STEM_PAIRED", "1")
+    rng = np.random.RandomState(2)
+    x2 = space_to_depth_3d(
+        jnp.asarray(rng.rand(1, 16, 16, 128, 1).astype(np.float32))
+    )
+    assert x2.shape[3] == 64
+    k2 = make_s2d_kernel(
+        jnp.asarray((rng.randn(7, 7, 7, 1, 8) * 0.1).astype(np.float32))
+    )
+    scale = jnp.asarray((rng.rand(64) + 0.5).astype(np.float32))
+    bias = jnp.asarray((rng.randn(64) * 0.1).astype(np.float32))
+
+    got = stem_conv_s2d_pallas(x2, k2, scale, bias, relu=True)
+    want = jax.lax.conv_general_dilated(
+        x2, k2, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    want = jnp.maximum(want * scale + bias, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
