@@ -134,6 +134,57 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
         return dict(metric=f"train_step_{size}^3_b{batch}", sec_per_iter=sec,
                     volumes_per_sec=batch / sec)
 
+    if mode == "train_stages":
+        # Per-stage forward+backward cost (value_and_grad of a scalar
+        # reduction of each stage output) — diagnoses where the train
+        # step's time goes; prints to stderr.
+        from hiddenpose_tpu.models.blocks import FeatureExtraction
+        from hiddenpose_tpu.models.posenet3d import PoseNet3D
+        from hiddenpose_tpu.models.unet3d import UNet3d
+
+        x_last = jnp.transpose(meas, (0, 2, 3, 4, 1))
+        dtype = jnp.dtype(cfg.model.compute_dtype)
+        small = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
+        fe = FeatureExtraction(basedim=cfg.model.basedim, stride=1, dtype=dtype)
+        fe_v = jax.jit(fe.init)(jax.random.PRNGKey(0), small)
+        un = UNet3d(in_channels=1, n_channels=4, dtype=dtype)
+        un_v = jax.jit(un.init)(jax.random.PRNGKey(0), small)
+        pn = PoseNet3D(num_joints=24, dtype=dtype)
+        pn_v = jax.jit(
+            lambda r, x: pn.init(r, x, train=True)
+        )(jax.random.PRNGKey(0), small)
+
+        flat = meas.reshape(batch, size, size, size)
+
+        def fe_loss(v, x):
+            return jnp.sum(fe.apply(v, x, train=True) ** 2)
+
+        def lct_loss(m, p):
+            rec = jax.checkpoint(lct_apply)(m, p)
+            return jnp.sum(rec ** 2)
+
+        def un_loss(v, x):
+            return jnp.sum(un.apply(v, x, train=True) ** 2)
+
+        def pn_loss(v, x):
+            out = pn.apply(v, x, train=True, mutable=["batch_stats"])[0]
+            return jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+
+        stages = {
+            "fe_grad": (jax.jit(jax.grad(fe_loss)), (fe_v, x_last)),
+            "lct_grad": (jax.jit(jax.grad(lct_loss)), (flat, lct)),
+            "unet_grad": (jax.jit(jax.grad(un_loss)), (un_v, x_last)),
+            "posenet_grad": (jax.jit(jax.grad(pn_loss)), (pn_v, x_last)),
+        }
+        out = {}
+        for name, (f, args) in stages.items():
+            sec = _timeit(lambda: f(*args), iters)
+            out[name] = sec
+            print(f"  {name}: {sec * 1000:.2f} ms", file=sys.stderr)
+        total = sum(out.values())
+        return dict(metric=f"train_stages_{size}^3_b{batch}",
+                    sec_per_iter=total, volumes_per_sec=batch / total)
+
     if mode == "stages":
         # Per-stage breakdown of the forward (diagnostic; prints to stderr).
         from hiddenpose_tpu.models.blocks import FeatureExtraction

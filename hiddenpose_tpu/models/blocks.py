@@ -157,7 +157,10 @@ class SmartConv3D(nn.Module):
         return y
 
 
-from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+from hiddenpose_tpu.ops.pallas.conv3p import (
+    on_tpu_default_device,
+    pallas_enabled,
+)
 
 
 class StencilConv3(nn.Module):
@@ -290,7 +293,7 @@ class FeatureExtraction(nn.Module):
         # custom-VJP wrapper, so the backward is the adjoint stencil kernel.
         use_pallas = (
             self.stride == 1
-            and on_tpu_default_device()
+            and pallas_enabled()
             and x.shape[-1] * self.basedim <= 16
             and x.shape[2] % 8 == 0
             # 4D-ref kernels run down to 32 lanes (see StencilConv3)

@@ -154,7 +154,10 @@ class StemS2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, D, H, W, C_in) → (B, D/2, H/2, W/2, F)
-        from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+        from hiddenpose_tpu.ops.pallas.conv3p import (
+            on_tpu_default_device,
+            pallas_enabled,
+        )
         from hiddenpose_tpu.ops.space_to_depth import (
             make_s2d_kernel,
             phase_maxpool_k3s2,
@@ -168,13 +171,13 @@ class StemS2D(nn.Module):
         k2 = make_s2d_kernel(kernel.astype(self.dtype))
 
         use_pallas = (
-            on_tpu_default_device()
+            pallas_enabled()
             if self.use_pallas is None else self.use_pallas
         )
         pallas_ok = (
             not self.train
             and use_pallas
-            and on_tpu_default_device()
+            and pallas_enabled()
             and x.shape[-1] == 1
             and (x.shape[1] // 2) % 4 == 0
             and (x.shape[2] // 2) % 4 == 0

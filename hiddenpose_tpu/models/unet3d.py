@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from hiddenpose_tpu.models.blocks import StencilConv3, on_tpu_default_device
+from hiddenpose_tpu.models.blocks import StencilConv3, pallas_enabled
 
 Dtype = Any
 
@@ -130,7 +130,7 @@ class UNet3d(nn.Module):
         n = self.n_channels
         # Round 3: the convs go through StencilConv3 -> conv3_planes_diff
         # (custom VJP), so the kernel path stays on for training as well.
-        use_pallas = on_tpu_default_device()
+        use_pallas = pallas_enabled()
         dc = lambda f, name: DoubleConv(f, dtype=self.dtype, name=name)
 
         xp = jnp.transpose(x, (0, 4, 1, 2, 3))  # planes

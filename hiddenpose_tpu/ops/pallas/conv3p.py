@@ -62,6 +62,16 @@ def on_tpu_default_device() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def pallas_enabled() -> bool:
+    """Module gate for the hardware kernels: on-TPU AND not disabled via
+    HP_NO_PALLAS=1 (diagnostic A/B switch; read at trace time)."""
+    import os
+
+    return (
+        os.environ.get("HP_NO_PALLAS", "0") != "1" and on_tpu_default_device()
+    )
+
+
 def _make_masks(h, w, wl, pad_mode):
     """Boundary masks, built ONCE per kernel invocation (a fresh iota per
     shift measurably slows Mosaic's generated code).
@@ -461,6 +471,199 @@ def conv3_planes_adjoint(
     return out[..., :wl] if wl != w else out
 
 
+def _conv3p_wgrad_kernel(x_hbm, z_hbm, o_ref, x_tile, z_tile, sem_x, sem_z,
+                         *, cin, cout, td, nd, h, w, wl, pad_mode, d_total,
+                         has_bias):
+    """Weight (+bias) gradient of the 3^3 stencil.
+
+    dk[t, ci, co] = sum_j x_pad[j + t - 1, ci] * dz[j, co]: the SAME shifted
+    planes the forward kernel multiplies by k[t] are here multiplied by the
+    cotangent plane and accumulated.  The output block (27*cin*cout [+cout]
+    rows of (h, w) partial sums) has a CONSTANT index map over the whole
+    (b, nd) grid, so Mosaic keeps it resident in VMEM and writes it back
+    once; the host-side wrapper reduces each row to a scalar.  Batch and
+    depth are therefore summed in-kernel for free.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    ncc = cin * cout
+
+    def _fill_front():
+        for ci in range(cin):
+            x_tile[ci, 0] = (x_tile[ci, 1] if pad_mode == "edge"
+                             else jnp.zeros((h, w), jnp.float32))
+
+    def _fill_back():
+        for ci in range(cin):
+            x_tile[ci, td + 1] = (x_tile[ci, td] if pad_mode == "edge"
+                                  else jnp.zeros((h, w), jnp.float32))
+
+    bc = pl.multiple_of(bi * cin, cin)
+    if nd == 1:
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(bc, cin), pl.ds(0, td), :, :],
+            x_tile.at[:, 1:td + 1], sem_x,
+        )
+        dma.start()
+        dma.wait()
+        _fill_front()
+        _fill_back()
+    else:
+        @pl.when(jnp.logical_and(i > 0, i < nd - 1))
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(bc, cin), pl.ds(i * td - 1, td + 2), :, :],
+                x_tile, sem_x,
+            )
+            dma.start()
+            dma.wait()
+
+        @pl.when(i == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(bc, cin), pl.ds(0, td + 1), :, :],
+                x_tile.at[:, 1:td + 2], sem_x,
+            )
+            dma.start()
+            dma.wait()
+            _fill_front()
+
+        @pl.when(i == nd - 1)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(bc, cin), pl.ds(d_total - td - 1, td + 1), :, :],
+                x_tile.at[:, 0:td + 1], sem_x,
+            )
+            dma.start()
+            dma.wait()
+            _fill_back()
+
+    zdma = pltpu.make_async_copy(
+        z_hbm.at[pl.ds(pl.multiple_of(bi * cout, cout), cout),
+                 pl.ds(i * td, td), :, :],
+        z_tile, sem_z,
+    )
+    zdma.start()
+    zdma.wait()
+
+    @pl.when(jnp.logical_and(bi == 0, i == 0))
+    def _():
+        o_ref[...] = jnp.zeros(o_ref.shape, jnp.float32)
+
+    masks = _make_masks(h, w, wl, pad_mode)
+
+    def body(dloc, carry):
+        zs = [z_tile[co, pl.ds(dloc, 1)][0] for co in range(cout)]
+        for ci in range(cin):
+            for dd in range(3):
+                plane = x_tile[ci, pl.ds(dloc + dd, 1)][0]
+                for ww in range(3):
+                    if ww == 1:
+                        wv = plane
+                    else:
+                        wv = _shift_lane(plane, ww - 1, pad_mode, wl, masks)
+                    for hh in range(3):
+                        if hh == 1:
+                            hv = wv
+                        else:
+                            hv = _shift_sub(wv, hh - 1, pad_mode, h, masks)
+                        base = ((dd * 3 + hh) * 3 + ww) * ncc + ci * cout
+                        for co in range(cout):
+                            o_ref[base + co] = (
+                                o_ref[base + co] + hv * zs[co]
+                            )
+        if has_bias:
+            for co in range(cout):
+                o_ref[27 * ncc + co] = o_ref[27 * ncc + co] + zs[co]
+        return carry
+
+    jax.lax.fori_loop(0, td, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad_mode", "has_bias", "interpret", "td_override"),
+)
+def conv3_planes_wgrad(
+    x: jax.Array,
+    dz: jax.Array,
+    *,
+    pad_mode: str = "zero",
+    has_bias: bool = True,
+    interpret: bool | None = None,
+    td_override: int | None = None,
+):
+    """dL/dkernel (and dL/dbias) of `conv3_planes` on the VPU.
+
+    x (B, C_in, D, H, W), dz (B, C_out, D, H, W) = dL/d(pre-activation).
+    Returns (dk (3, 3, 3, C_in, C_out) float32, db (C_out,) float32 or
+    None).  XLA's own weight-grad lowering for these shapes is an
+    MXU-hostile 27-output huge-K correlation (measured 18-25 ms per conv at
+    128^3 vs ~6 ms for the whole Pallas forward); this kernel pays exactly
+    the forward's flops plus accumulator traffic instead."""
+    b, cin, d, h, w = x.shape
+    cout = dz.shape[1]
+    assert dz.shape == (b, cout, d, h, w), (dz.shape, x.shape)
+    assert w <= 128 and h % 8 == 0
+    assert cin * cout <= 32, "accumulator rows would blow VMEM/compile"
+
+    wl = w
+    if w < 128:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, 128 - w),))
+        dz = jnp.pad(dz, ((0, 0),) * 4 + ((0, 128 - w),))
+        w = 128
+
+    rows = 27 * cin * cout + (cout if has_bias else 0)
+    # VMEM budget: resident accumulator + input/cotangent tiles.
+    acc_bytes = rows * h * w * 4
+    td = td_override or _pick_td(
+        d, h, w, cin, cout, budget=max(80 * 1024 * 1024 - acc_bytes, h * w * 8)
+    )
+    nd = d // td
+
+    if interpret is None:
+        interpret = not on_tpu_default_device()
+
+    kern = functools.partial(
+        _conv3p_wgrad_kernel, cin=cin, cout=cout, td=td, nd=nd, h=h, w=w,
+        wl=wl, pad_mode=pad_mode, d_total=d, has_bias=has_bias,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, nd),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x (manual halo DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # dz (manual DMA)
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, h, w), lambda bi, i: (0, 0, 0), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((cin, td + 2, h, w), jnp.float32),
+            pltpu.VMEM((cout, td, h, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * h * w * 27 * cin * cout,
+            bytes_accessed=x.size * 4 + dz.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32).reshape(b * cin, d, h, w),
+        dz.astype(jnp.float32).reshape(b * cout, d, h, w),
+    )
+    sums = out.sum(axis=(1, 2))  # (rows,)
+    dk = sums[:27 * cin * cout].reshape(3, 3, 3, cin, cout)
+    db = sums[27 * cin * cout:] if has_bias else None
+    return dk, db
+
+
 def _weight_grad_xla(x, dz, pad_mode):
     """dL/dkernel via XLA's conv transpose rule: the weight gradient of a
     3^3 conv is 27 huge-K correlations — MXU-shaped (K = B*D*H*W), so XLA
@@ -518,9 +721,12 @@ def _conv3p_diff_bwd(act, pad_mode, interpret, td_override, res, g):
         dz, kernel, pad_mode=pad_mode, interpret=interpret,
         td_override=td_override,
     ).astype(x.dtype)
-    dk = _weight_grad_xla(x, dz, pad_mode).astype(kernel.dtype)
-    db = dz.sum(axis=(0, 2, 3, 4)).astype(bias.dtype) if bias is not None \
-        else None
+    dk, db = conv3_planes_wgrad(
+        x, dz, pad_mode=pad_mode, has_bias=bias is not None,
+        interpret=interpret,
+    )
+    dk = dk.astype(kernel.dtype)
+    db = db.astype(bias.dtype) if bias is not None else None
     dres = dz.astype(residual.dtype) if residual is not None else None
     return dx, dk, db, dres
 

@@ -135,3 +135,38 @@ def test_conv3p_diff_forward_matches_nondiff():
     want = conv3_planes(x, k, b, r, act="leaky", pad_mode="edge",
                         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
+
+
+def test_conv3p_wgrad_kernel_direct():
+    """Standalone Pallas weight-grad vs XLA autodiff (both pad modes,
+    with/without bias, sub-128 lanes)."""
+    from hiddenpose_tpu.ops.pallas.conv3p import conv3_planes_wgrad
+
+    for (cin, cout, d, h, w, pad, has_bias) in [
+        (1, 1, 8, 8, 16, "edge", True),
+        (2, 3, 8, 8, 16, "zero", False),
+        (1, 4, 4, 8, 128, "edge", True),
+        (4, 4, 4, 16, 64, "zero", True),
+    ]:
+        x = jnp.asarray(RNG.randn(2, cin, d, h, w).astype(np.float32))
+        dz = jnp.asarray(RNG.randn(2, cout, d, h, w).astype(np.float32))
+
+        def loss(k, b):
+            return jnp.sum(
+                conv3_planes_xla(x, k, b, act="none", pad_mode=pad) * dz
+            )
+
+        gk, gb = jax.grad(loss, argnums=(0, 1))(
+            jnp.zeros((3, 3, 3, cin, cout), jnp.float32),
+            jnp.zeros((cout,), jnp.float32),
+        )
+        dk, db = conv3_planes_wgrad(
+            x, dz, pad_mode=pad, has_bias=has_bias, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(gk),
+                                   rtol=1e-4, atol=1e-3)
+        if has_bias:
+            np.testing.assert_allclose(np.asarray(db), np.asarray(gb),
+                                       rtol=1e-4, atol=1e-3)
+        else:
+            assert db is None
