@@ -235,10 +235,25 @@ class StemS2D(nn.Module):
                 x.astype(self.dtype), k2, jnp.tile(scale, 8),
                 jnp.tile(shift, 8), relu=True,
             ).astype(self.dtype)
-            return phase_maxpool_k3s2(y2)
+            return self._pool(y2)
 
         y2 = y2 * jnp.tile(scale, 8) + jnp.tile(shift, 8)
         y2 = nn.relu(y2).astype(self.dtype)
+        return self._pool(y2)
+
+    def _pool(self, y2):
+        """Phase max-pool: the Pallas kernel pair (fwd + exact-VJP bwd,
+        `ops/pallas/phase_pool.py`) when on TPU and tile-shaped — the XLA
+        slice-chain's backward materialises every stage in HBM (measured
+        64 ms at the production stem shape vs ~12 ms kernelled) — else the
+        XLA chain."""
+        from hiddenpose_tpu.ops.pallas.conv3p import pallas_enabled
+        from hiddenpose_tpu.ops.pallas.phase_pool import phase_maxpool_diff
+        from hiddenpose_tpu.ops.space_to_depth import phase_maxpool_k3s2
+
+        if (pallas_enabled() and y2.shape[-1] % 128 == 0
+                and y2.shape[3] % 8 == 0 and y2.shape[1] >= 2):
+            return phase_maxpool_diff(y2)
         return phase_maxpool_k3s2(y2)
 
 
@@ -258,6 +273,11 @@ class PoseNet3D(nn.Module):
     # resolution (128^3) the stored activations of 16 blocks exceed v5e HBM;
     # remat trades ~30% backward flops for fitting batch>=2 on one chip.
     remat: bool = True
+    # Rematerialise the stem too: its saved activations (s2d conv output +
+    # post-BN/ReLU phase tensor, ~2.2 GB at 128^3 b2) are the largest and
+    # LONGEST-lived buffers of the backward; recomputing the 32 ms stem
+    # forward relieves HBM pressure across the whole stack backward.
+    remat_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # (B, D, H, W, C)
@@ -277,7 +297,8 @@ class PoseNet3D(nn.Module):
             and all(d % 2 == 0 for d in x.shape[1:4])
         )
         if s2d_stem:
-            x = StemS2D(
+            stem_cls = nn.remat(StemS2D) if self.remat_stem else StemS2D
+            x = stem_cls(
                 features=widths[0], train=train, dtype=self.dtype,
                 name="conv1",
             )(x)
