@@ -61,6 +61,10 @@ class ModelConfig:
     # of the 2x-padded spectra so large batches stop thrashing HBM
     # (measured round 1: b8 inference REGRESSED to 11.2 vol/s vs 19.2 at b4).
     lct_batch_chunk: int = 0
+    # Rematerialise the PoseNet stem in the backward pass (its saved
+    # activations are ~2.2 GB at 128^3 b2, held across the whole stack
+    # backward); see models/posenet3d.py::PoseNet3D.remat_stem.
+    posenet_remat_stem: bool = False
 
 
 @dataclass(frozen=True)

@@ -143,10 +143,11 @@ class SmartConv3D(nn.Module):
         if c_in <= self.s2d_max_cin and even and k % 2 == 1:
             y = conv3d_s2d(x, kernel)
         else:
-            y = jax.lax.conv_general_dilated(
+            from hiddenpose_tpu.ops.conv_acc import conv_acc32
+
+            y = conv_acc32(
                 x, kernel, (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32,
             )
         y = y.astype(self.dtype)
         if self.use_bias:
@@ -216,10 +217,11 @@ class StencilConv3(nn.Module):
             xp.astype(self.dtype),
             ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)), mode=mode,
         )
-        out = jax.lax.conv_general_dilated(
+        from hiddenpose_tpu.ops.conv_acc import conv_acc32
+
+        out = conv_acc32(
             h, kernel.astype(self.dtype), (1, 1, 1), "VALID",
             dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
-            preferred_element_type=jnp.float32,
         )
         if bias is not None:
             out = out + bias.astype(out.dtype)[None, :, None, None, None]

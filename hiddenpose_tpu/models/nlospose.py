@@ -65,7 +65,10 @@ class NlosPose(nn.Module):
             in_channels=c.in_channels, n_channels=4, dtype=dtype
         )
         if c.backbone == "posenet3d_50":
-            self.pose_net = PoseNet3D(num_joints=c.num_joints, dtype=dtype)
+            self.pose_net = PoseNet3D(
+                num_joints=c.num_joints, dtype=dtype,
+                remat_stem=c.posenet_remat_stem,
+            )
         elif c.backbone == "posenet2d":
             # Reference constructs VisibleNet + 2D ResNet for this mode
             # (models/NlosPose.py:41-45) but its forward never invokes

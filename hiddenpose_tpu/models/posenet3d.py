@@ -189,11 +189,12 @@ class StemS2D(nn.Module):
         )
         y2 = None
         if not pallas_ok:
+            from hiddenpose_tpu.ops.conv_acc import conv_acc32
+
             x2 = space_to_depth_3d(x.astype(self.dtype))
-            y2 = jax.lax.conv_general_dilated(
+            y2 = conv_acc32(
                 x2, k2, (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32,
             )
 
         # BatchNorm with phase-tied parameters, applied directly on the

@@ -1,0 +1,45 @@
+"""f32-accumulating convolution that stays differentiable under bf16.
+
+This JAX version's conv transpose rule rejects mixed operand dtypes: a
+``lax.conv_general_dilated`` with bf16 operands and
+``preferred_element_type=float32`` produces an f32 cotangent which the
+transpose feeds straight back into a conv against the bf16 kernel —
+``TypeError: lax.conv_general_dilated requires arguments to have the same
+dtypes, got bfloat16, float32`` (observed tracing the 128^3 training
+backward in mixed precision; minimal repro in tests/test_bf16_train.py).
+
+``conv_acc32`` keeps the exact f32-accumulation semantics for f32 inputs.
+For low-precision inputs it computes the conv in the input dtype — the TPU
+MXU still accumulates partial products in f32 internally and rounds once at
+the output — and upcasts the result, so downstream normalisation statistics
+stay f32 while the transpose sees uniform dtypes.  One output rounding to
+bf16 is the standard mixed-precision contract (same as flax.linen.Conv with
+``dtype=bfloat16``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def conv_acc32(
+    x: jax.Array,
+    kernel: jax.Array,
+    strides,
+    padding,
+    dimension_numbers,
+) -> jax.Array:
+    """``lax.conv_general_dilated`` returning f32, differentiable for any
+    uniform input dtype."""
+    if x.dtype == jnp.float32 and kernel.dtype == jnp.float32:
+        return jax.lax.conv_general_dilated(
+            x, kernel, strides, padding,
+            dimension_numbers=dimension_numbers,
+            preferred_element_type=jnp.float32,
+        )
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), strides, padding,
+        dimension_numbers=dimension_numbers,
+    )
+    return out.astype(jnp.float32)

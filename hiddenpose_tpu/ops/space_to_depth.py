@@ -162,9 +162,17 @@ def conv3d_s2d(
     """
     x2 = space_to_depth_3d(x)
     k2 = make_s2d_kernel(kernel).astype(x2.dtype)
-    y2 = jax.lax.conv_general_dilated(
-        x2, k2, (1, 1, 1), "SAME",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=preferred_element_type,
-    )
+    if preferred_element_type == jnp.float32:
+        from hiddenpose_tpu.ops.conv_acc import conv_acc32
+
+        y2 = conv_acc32(
+            x2, k2, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+    else:
+        y2 = jax.lax.conv_general_dilated(
+            x2, k2, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=preferred_element_type,
+        )
     return depth_to_space_3d(y2)
