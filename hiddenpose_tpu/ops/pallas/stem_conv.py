@@ -39,16 +39,19 @@ PATCH_PAD = 1024
 
 
 def _paired_enabled() -> bool:
-    """Gate for the 128-lane paired-d-planes matmul packing.
+    """Gate for the 128-lane paired-d-planes matmul packing (default ON).
 
-    Interpret-mode (CPU) tests prove the algorithm exact, but the first
-    on-chip run measured 2.3e-3 rel err vs XLA-HIGHEST (tpu_validate_r3),
-    consistent with a Mosaic mis-lowering of one of the offset-lane
-    vector stores — OFF by default until the hardware diagnostic isolates
-    and dodges the culprit op."""
+    The round-3 hardware bisection (tpu_diag_stem_paired) cleared the
+    packing: the paired im2col store and the offset-lane transpose epilogue
+    are exact on-chip, and the 2.3e-3 once blamed on a Mosaic mis-lowering
+    is the in-kernel f32 `jnp.dot`'s inherent default-precision bf16-pass
+    rounding (identical at N=64 and N=128).  Re-validated on the production
+    shape (tpu_validate_stem_paired): paired == unpaired == XLA-default
+    BIT-EXACT (rel 0.0), stem 19.55 -> 15.33 ms.  HP_STEM_PAIRED=0 falls
+    back for A/B."""
     import os
 
-    return os.environ.get("HP_STEM_PAIRED", "0") == "1"
+    return os.environ.get("HP_STEM_PAIRED", "1") != "0"
 
 
 def _stem_kernel(x_hbm, kt_ref, scale_ref, bias_ref, o_ref, x_tile, patches,

@@ -170,3 +170,51 @@ def test_conv3p_wgrad_kernel_direct():
                                        rtol=1e-4, atol=1e-3)
         else:
             assert db is None
+
+
+# ---------------------------------------------------------------------------
+# Double-buffered kernels (round-3 VERDICT #5): host-side depth-halo pad +
+# cross-grid-step DMA prefetch.  Must be BIT-identical to the blocking-DMA
+# kernels (same arithmetic, different DMA schedule).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "cin,cout,d,h,w,pad,act,pre",
+    [
+        (2, 2, 8, 16, 128, "zero", "relu", None),
+        (4, 2, 16, 16, 64, "edge", "leaky", True),
+        (1, 1, 4, 8, 128, "zero", "none", None),
+    ],
+)
+def test_conv3p_db_matches_blocking(cin, cout, d, h, w, pad, act, pre):
+    x, k, b, r, ps, pb = _case(cin, cout, d, h, w, False, pre)
+    y0 = conv3_planes(x, k, b, None, ps, pb, act=act, pad_mode=pad,
+                      pre_relu=pre, interpret=True, db=False)
+    y1 = conv3_planes(x, k, b, None, ps, pb, act=act, pad_mode=pad,
+                      pre_relu=pre, interpret=True, db=True)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+@pytest.mark.parametrize("pad", ["zero", "edge"])
+def test_conv3p_db_adjoint_wgrad_match_blocking(pad):
+    from hiddenpose_tpu.ops.pallas.conv3p import (
+        conv3_planes_adjoint,
+        conv3_planes_wgrad,
+    )
+
+    cin, cout, d, h, w = 2, 3, 16, 16, 64
+    x = jnp.asarray(RNG.randn(2, cin, d, h, w).astype(np.float32))
+    dz = jnp.asarray(RNG.randn(2, cout, d, h, w).astype(np.float32))
+    k = jnp.asarray(RNG.randn(3, 3, 3, cin, cout).astype(np.float32) * 0.2)
+
+    a0 = conv3_planes_adjoint(dz, k, pad_mode=pad, interpret=True, db=False)
+    a1 = conv3_planes_adjoint(dz, k, pad_mode=pad, interpret=True, db=True)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+    dk0, db0 = conv3_planes_wgrad(x, dz, pad_mode=pad, interpret=True,
+                                  db=False)
+    dk1, db1 = conv3_planes_wgrad(x, dz, pad_mode=pad, interpret=True,
+                                  db=True)
+    np.testing.assert_array_equal(np.asarray(dk0), np.asarray(dk1))
+    np.testing.assert_array_equal(np.asarray(db0), np.asarray(db1))

@@ -94,3 +94,32 @@ def test_stem_conv_pallas_paired_lanes(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
     )
+
+
+def test_stem_conv_paired_matches_unpaired():
+    """The 128-lane paired-d-planes packing (round 3, default ON after the
+    on-chip bisection cleared it) needs w2 == 64 — exercise it at the
+    smallest such shape and pin bit-equality against the unpaired path."""
+    rng = np.random.RandomState(2)
+    x2 = space_to_depth_3d(
+        jnp.asarray(rng.rand(1, 8, 8, 128, 1).astype(np.float32))
+    )
+    assert x2.shape[3] == 64
+    k2 = make_s2d_kernel(
+        jnp.asarray((rng.randn(7, 7, 7, 1, 16) * 0.1).astype(np.float32))
+    )
+    scale = jnp.asarray((rng.rand(128) + 0.5).astype(np.float32))
+    bias = jnp.asarray((rng.randn(128) * 0.1).astype(np.float32))
+
+    got_p = stem_conv_s2d_pallas(x2, k2, scale, bias, relu=True, paired=True)
+    got_u = stem_conv_s2d_pallas(x2, k2, scale, bias, relu=True, paired=False)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(got_u))
+
+    want = jax.lax.conv_general_dilated(
+        x2, k2, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    want = jnp.maximum(want * scale + bias, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got_p), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
