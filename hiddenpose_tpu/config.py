@@ -65,6 +65,13 @@ class ModelConfig:
     # activations are ~2.2 GB at 128^3 b2, held across the whole stack
     # backward); see models/posenet3d.py::PoseNet3D.remat_stem.
     posenet_remat_stem: bool = False
+    # Rematerialise the PoseNet residual blocks.  Required in round 1 to
+    # fit 128^3 b2 on one v5e; with the round-3 backward work the no-remat
+    # gradient both fits at the reference batch (b2) and is ~41 ms faster
+    # (284.6 vs 325.7 ms posenet grad, tpu_diag_stemvjp.py), so off is the
+    # default.  Set True for batch sizes whose saved block activations
+    # exceed HBM (roughly b >= 4 at 128^3 on one 16 GB chip).
+    posenet_remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -67,6 +67,7 @@ class NlosPose(nn.Module):
         if c.backbone == "posenet3d_50":
             self.pose_net = PoseNet3D(
                 num_joints=c.num_joints, dtype=dtype,
+                remat=c.posenet_remat,
                 remat_stem=c.posenet_remat_stem,
             )
         elif c.backbone == "posenet2d":

@@ -31,6 +31,76 @@ Dtype = Any
 deconv_init = nn.initializers.normal(stddev=0.001)
 
 
+class FastConv(nn.Module):
+    """nn.Conv-compatible 3D conv (torch k//2 padding, no bias) routed
+    through the MXU-friendly reformulations of `ops/conv3d_fast.py`.
+
+    XLA's 3D conv *backward* lowering is the train-step bottleneck on this
+    toolchain (dx+dk of a 1x1x1 c256->64 @64^3: 11.8 ms for two matmuls'
+    worth of work — tpu_diag_conv.py); expressing the pointwise convs as
+    dot_generals more than halves both passes.  Param tree identical to
+    nn.Conv ({'kernel'} of shape (k, k, k, C_in, C_out))."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from hiddenpose_tpu.ops.conv3d_fast import (
+            conv1x1x1_mm,
+            conv3x3x3_d2d,
+            fast_modes,
+        )
+        from hiddenpose_tpu.ops.conv_acc import conv_acc32
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", kaiming_out_normal,
+            (k, k, k, x.shape[-1], self.features),
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        modes = fast_modes()
+        if k == 1 and "mm" in modes:
+            return conv1x1x1_mm(x, kernel, self.stride)
+        if k == 3 and "d2d" in modes:
+            return conv3x3x3_d2d(x, kernel, self.stride)
+        return conv_acc32(
+            x, kernel, (self.stride,) * 3, ((k // 2, k // 2),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ).astype(self.dtype)
+
+
+class FastDeconv(nn.Module):
+    """nn.ConvTranspose(k4, s2, SAME, no bias)-compatible module routed
+    through the 8-phase matmul formulation (`conv_transpose4_s2_mm`,
+    bit-exact vs flax)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from hiddenpose_tpu.ops.conv3d_fast import (
+            conv_transpose4_s2_mm,
+            fast_modes,
+        )
+
+        kernel = self.param(
+            "kernel", deconv_init, (4, 4, 4, x.shape[-1], self.features)
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if "deconv" in fast_modes():
+            return conv_transpose4_s2_mm(x, kernel)
+        return jax.lax.conv_transpose(
+            x, kernel, (2, 2, 2), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -47,10 +117,8 @@ class Bottleneck(nn.Module):
         # reference's Conv3d(k3, s2, p1) samples -1,1,3,...
         # (`posenet3d_50.py:13-23`) — a one-voxel shift that breaks
         # checkpoint-import parity (tests/test_torch_import.py).
-        conv = lambda f, k, s, name: nn.Conv(
-            f, (k,) * 3, strides=(s,) * 3, padding=((k // 2, k // 2),) * 3,
-            use_bias=False, kernel_init=kaiming_out_normal, dtype=self.dtype,
-            name=name,
+        conv = lambda f, k, s, name: FastConv(
+            f, kernel_size=k, stride=s, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
@@ -82,10 +150,8 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         train = self.train
         # torch-convention padding — see Bottleneck.
-        conv = lambda f, k, s, name: nn.Conv(
-            f, (k,) * 3, strides=(s,) * 3, padding=((k // 2, k // 2),) * 3,
-            use_bias=False, kernel_init=kaiming_out_normal, dtype=self.dtype,
-            name=name,
+        conv = lambda f, k, s, name: FastConv(
+            f, kernel_size=k, stride=s, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
@@ -114,10 +180,8 @@ class DeconvHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.num_layers):
-            x = nn.ConvTranspose(
-                self.num_filters, (4, 4, 4), strides=(2, 2, 2), padding="SAME",
-                use_bias=False, kernel_init=deconv_init, dtype=self.dtype,
-                name=f"deconv{i + 1}",
+            x = FastDeconv(
+                self.num_filters, dtype=self.dtype, name=f"deconv{i + 1}",
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i + 1}",
@@ -189,13 +253,13 @@ class StemS2D(nn.Module):
         )
         y2 = None
         if not pallas_ok:
-            from hiddenpose_tpu.ops.conv_acc import conv_acc32
+            # Custom-VJP conv: the native weight-gradient of this C_in=8
+            # conv was the single hottest op of the training step (47.7 ms
+            # — see ops/space_to_depth.py::conv_s2d_stem_diff).
+            from hiddenpose_tpu.ops.space_to_depth import conv_s2d_stem_diff
 
             x2 = space_to_depth_3d(x.astype(self.dtype))
-            y2 = conv_acc32(
-                x2, k2, (1, 1, 1), "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            )
+            y2 = conv_s2d_stem_diff(x2, k2)
 
         # BatchNorm with phase-tied parameters, applied directly on the
         # (.., 8*f) tensor — splitting the lane axis for flax BatchNorm

@@ -80,12 +80,60 @@ class DoubleConv(nn.Module):
         return xp
 
 
-def max_pool2_planes(x):
-    """MaxPool3d(2, 2) on (B, C, D, H, W)."""
+def _max_pool2_impl(x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         (1, 1, 2, 2, 2), (1, 1, 2, 2, 2), "VALID",
     )
+
+
+@jax.custom_vjp
+def max_pool2_planes(x):
+    """MaxPool3d(2, 2) on (B, C, D, H, W).
+
+    Custom VJP: jax's default max-pool gradient lowers to
+    `select-and-scatter`, which costs 14.9 ms (plus two ~3 ms layout
+    copies around it) for the (2, 4, 128^3) top level of the UNet inside
+    the train-step backward (profiled in tpu_jobs/002).  The rewrite
+    routes the cotangent with phase-slice equality masks — pure
+    elementwise work.  Semantics match select_and_scatter exactly: the
+    gradient goes to the FIRST maximal element in row-major window order
+    (tested incl. the all-ties case)."""
+    return _max_pool2_impl(x)
+
+
+def _max_pool2_fwd(x):
+    y = _max_pool2_impl(x)
+    return y, (x, y)
+
+
+def _max_pool2_bwd(res, dy):
+    # Phase grads are re-interleaved with interior-padded adds — an
+    # `x.at[strided].set` assembly lowered to eight sequential 16 ms
+    # scatter fusions at the UNet's 128^3 level (profiled in
+    # tpu_jobs/004); lax.pad is lazy inside XLA fusions, so the 8
+    # pads + adds become one output pass.
+    x, y = res
+    zero = jnp.zeros((), dy.dtype)
+    taken = None
+    dx = None
+    for pd in (0, 1):
+        for ph in (0, 1):
+            for pw in (0, 1):
+                sl = x[:, :, pd::2, ph::2, pw::2]
+                eq = sl == y
+                m = eq if taken is None else (eq & ~taken)
+                taken = eq if taken is None else (taken | eq)
+                v = jnp.where(m, dy, zero).astype(x.dtype)
+                cfg = [(0, 0, 0), (0, 0, 0)] + [
+                    (p, 1 - p, 1) for p in (pd, ph, pw)
+                ]
+                v = jax.lax.pad(v, jnp.zeros((), x.dtype), cfg)
+                dx = v if dx is None else dx + v
+    return (dx,)
+
+
+max_pool2_planes.defvjp(_max_pool2_fwd, _max_pool2_bwd)
 
 
 def _interp_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:

@@ -1,0 +1,144 @@
+"""MXU-friendly reformulations of the 3D convolutions in the pose backbone.
+
+XLA's TPU lowering of ``conv_general_dilated`` with three spatial dims is
+weak in the *backward* pass on this toolchain (measured at the ResNet
+bottleneck shapes, `scripts/tpu_diag_conv.py`, 64^3 b2 f32, one v5e chip):
+
+    1x1x1 c256->64:  fwd 6.3 ms,  dx+dk 11.8 ms   (two matmuls' worth of work)
+    3^3 c64->64 s1:  fwd 8.7 ms,  dx+dk 14.0 ms
+    3^3 c128 s2:     fwd 7.8 ms,  dx+dk  7.0 ms   (s2 backward is fine)
+
+The 1x1x1 conv IS a matmul — writing it as one (``conv1x1x1_mm``) halves
+both passes (fwd 4.0 ms, dx+dk 5.0 ms) because autodiff of a dot_general
+produces two dot_generals, which the MXU runs near its layout-bound limit,
+instead of a transposed conv + a correlation that the TPU conv emitter
+lowers badly.
+
+``conv3x3x3_d2d`` decomposes a k3 conv into three 2D convs over shifted
+depth slabs (the TPU 2D conv emitter is the well-tuned one); its autodiff
+yields 2D conv backward passes.  Measured standalone it is ~even with the
+native forward and slightly behind the native s1 backward at 64^3 — it is
+kept for shape experiments and NOT default-routed.
+
+Reference semantics: torch Conv3d(k, s, p=k//2) — explicit (k//2, k//2)
+padding per spatial dim (`/root/reference/models/posenet3d_50.py:13-23`).
+
+dtype contract matches ``ops.conv_acc.conv_acc32``'s uniform-dtype rule:
+f32 operands accumulate in f32 via ``preferred_element_type``; bf16
+operands compute in-dtype (the MXU still accumulates partial products in
+f32) and the result is returned in the compute dtype.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def fast_modes() -> frozenset:
+    """Trace-time selection of the reformulated lowerings (A/B switch).
+
+    HP_FASTCONV is a comma list of {mm, deconv, d2d}.  Default: OFF — all
+    three reformulations WIN standalone (tpu_diag_conv.py) but LOSE
+    in-situ (tpu_diag_conv2.py: posenet grad 334 -> 324/353 ms, fwd
+    67 -> 80/99 ms): as forward rewrites they insert reshape relayouts and
+    break XLA's in-situ conv fusion/layout choices.  Kept as measurement
+    switches; the production backward fix is the custom-VJP route (native
+    forward, matmul cotangents) — see FastConv."""
+    return frozenset(
+        m for m in os.environ.get("HP_FASTCONV", "").split(",") if m
+    )
+
+
+def _pref(x):
+    return jnp.float32 if x.dtype == jnp.float32 else None
+
+
+def conv1x1x1_mm(x: jax.Array, k: jax.Array, stride: int = 1) -> jax.Array:
+    """1x1x1 conv (NDHWC, torch padding 0) as a flat matmul.
+
+    k: (1, 1, 1, C_in, C_out) — the nn.Conv param shape, so module trees
+    are unchanged."""
+    if stride != 1:
+        x = x[:, ::stride, ::stride, ::stride]
+    ci, co = k.shape[3], k.shape[4]
+    y = jax.lax.dot_general(
+        x.reshape(-1, ci), k.reshape(ci, co),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=_pref(x),
+    )
+    return y.reshape(x.shape[:4] + (co,)).astype(x.dtype)
+
+
+def conv3x3x3_d2d(x: jax.Array, k: jax.Array, stride: int = 1) -> jax.Array:
+    """3^3 conv (NDHWC, torch padding 1) as three 2D convs over depth taps.
+
+    k: (3, 3, 3, C_in, C_out)."""
+    b, d, h, w, ci = x.shape
+    co = k.shape[4]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    dout = (d + 2 - 3) // stride + 1
+    acc = None
+    for dz in range(3):
+        xz = jax.lax.slice_in_dim(
+            xp, dz, dz + (dout - 1) * stride + 1, stride, axis=1
+        )
+        x2 = xz.reshape(b * dout, h, w, ci)
+        y2 = jax.lax.conv_general_dilated(
+            x2, k[dz], (stride, stride), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=_pref(x),
+        )
+        acc = y2 if acc is None else acc + y2
+    ho, wo = acc.shape[1], acc.shape[2]
+    return acc.reshape(b, dout, ho, wo, co).astype(x.dtype)
+
+
+def conv_transpose4_s2_mm(x: jax.Array, k: jax.Array) -> jax.Array:
+    """ConvTranspose(k4, s2, SAME) on NDHWC as 8 phase outputs of 2^3
+    tap-matmuls — flax ``nn.ConvTranspose(strides=2, padding='SAME')``
+    semantics (output size exactly 2x input; kernel NOT flipped).
+
+    k: (4, 4, 4, C_in, C_out).
+
+    Derivation (delta-probe, scripts history): per axis the output obeys
+    y[2i + p] = Σ_{m∈{0,1}} x[i + p + m - 1] · k[2m + p] — a 2-tap
+    stencil per output phase p with the kernel effectively flipped.  Each
+    (phase, tap) pair is one matmul over C_in; autodiff then emits
+    matmuls for dx/dk instead of the TPU 3D conv backward."""
+    b, d, h, w, ci = x.shape
+    co = k.shape[4]
+    km = k.reshape(4, 4, 4, ci, co)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+
+    def tap(pd, ph, pw, md, mh, mw):
+        # x[i + p + m - 1] over the 1-padded tensor = slice from p + m.
+        sl = jax.lax.dynamic_slice(
+            xp, (0, pd + md, ph + mh, pw + mw, 0), (b, d, h, w, ci)
+        )
+        return sl.reshape(-1, ci)
+
+    phases = []
+    for pd in range(2):
+        for ph in range(2):
+            for pw in range(2):
+                acc = None
+                for md in range(2):
+                    for mh in range(2):
+                        for mw in range(2):
+                            w_t = km[2 * md + pd, 2 * mh + ph, 2 * mw + pw]
+                            y = jax.lax.dot_general(
+                                tap(pd, ph, pw, md, mh, mw),
+                                w_t.reshape(ci, co),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=_pref(x),
+                            )
+                            acc = y if acc is None else acc + y
+                phases.append(acc.reshape(b, d, h, w, co))
+    # Interleave the 8 phase volumes into the 2x output.
+    y = jnp.stack(phases, axis=0).reshape(2, 2, 2, b, d, h, w, co)
+    y = jnp.transpose(y, (3, 4, 0, 5, 1, 6, 2, 7))
+    return y.reshape(b, 2 * d, 2 * h, 2 * w, co).astype(x.dtype)

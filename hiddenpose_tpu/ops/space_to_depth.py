@@ -149,6 +149,153 @@ def phase_maxpool_k3s2(y2: jax.Array) -> jax.Array:
     return axis_reduce(h_stage, axis=1)
 
 
+def _stem_conv_fwd_impl(x2: jax.Array, k2: jax.Array) -> jax.Array:
+    from hiddenpose_tpu.ops.conv_acc import conv_acc32
+
+    return conv_acc32(
+        x2, k2, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+@jax.custom_vjp
+def conv_s2d_stem_diff(x2: jax.Array, k2: jax.Array) -> jax.Array:
+    """The stem's s2d conv (stride-1 SAME, odd kernel, NDHWC) with a
+    rewritten backward.
+
+    XLA's native weight-gradient for this conv — correlation of the
+    C_in=8 s2d input against the 512-channel cotangent — lowers to the
+    `InputFeaturePackedInSublanes` TPU emitter running one matmul per tap
+    with M=8 of 128 MXU rows: measured **47.7 ms** of the 328 ms PoseNet3D
+    backward at 128^3 b2 (profiled via tpu_diag_prof.py; the single
+    hottest op of the whole train step).  The custom backward instead
+    materialises the 125-tap im2col patch matrix once ((N, 1000), bf16 —
+    the native lowering also feeds the MXU bf16) and computes
+    dk = dyᵀ @ patches as ONE full-M matmul: ~537 GFLOP at full row
+    utilisation plus ~2 GB of traffic ≈ 8 ms.
+
+    dx keeps a native conv but phrased as the stride-1 SAME conv with the
+    spatially-flipped, in/out-swapped kernel, which uses the ordinary
+    forward emitter (M = N rows) instead of the transposed-conv path.
+    """
+    return _stem_conv_fwd_impl(x2, k2)
+
+
+def _stem_conv_fwd(x2, k2):
+    return _stem_conv_fwd_impl(x2, k2), (x2, k2)
+
+
+def _stem_dx_mm(x2, k2, dy):
+    """Input gradient of the stride-1 SAME stem conv via channel-major
+    matmuls + shifted sublane-slab accumulation (see _stem_conv_bwd)."""
+    from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+
+    ks = k2.shape[0]
+    p = ks // 2
+    ci, co = k2.shape[3], k2.shape[4]
+    b, d, h, w, _ = x2.shape
+    cd = (
+        jnp.bfloat16
+        if (x2.dtype == jnp.float32 and on_tpu_default_device())
+        else x2.dtype
+    )
+    # dy transposed channel-major and spatially padded by p (padded index
+    # j holds dy[j - p]; the tap-t contribution to dx[m] reads dy[m+p-t]
+    # = dyp[m + 2p - t], slice starts 2p - t ∈ [0, ks-1]).
+    dyp = jnp.transpose(dy.astype(cd), (4, 0, 1, 2, 3))
+    dyp = jnp.pad(dyp, ((0, 0), (0, 0), (p, p), (p, p), (p, p)))
+    dp, hp, wp = d + 2 * p, h + 2 * p, w + 2 * p
+    k2m = k2.astype(cd).reshape(ks * ks * ks * ci, co)
+
+    dx = None
+    for a in range(ks):
+        rows = k2m[a * ks * ks * ci:(a + 1) * ks * ks * ci]
+        u = jax.lax.dot_general(
+            rows, dyp.reshape(co, b * dp * hp * wp),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd).reshape(ks * ks * ci, b, dp, hp, wp)
+        u = jax.lax.optimization_barrier(u)
+        for bh in range(ks):
+            for cw in range(ks):
+                t = bh * ks + cw
+                slab = jax.lax.dynamic_slice(
+                    u,
+                    (t * ci, 0, 2 * p - a, 2 * p - bh, 2 * p - cw),
+                    (ci, b, d, h, w),
+                )
+                dx = slab.astype(jnp.float32) if dx is None \
+                    else dx + slab.astype(jnp.float32)
+    return jnp.transpose(dx, (1, 2, 3, 4, 0)).astype(x2.dtype)
+
+
+def _stem_conv_bwd(res, dy):
+    x2, k2 = res
+    ks = k2.shape[0]
+    p = ks // 2
+    ci, co = k2.shape[3], k2.shape[4]
+    b, d, h, w, _ = x2.shape
+    n = b * d * h * w
+
+    # dx as planes-layout matmuls.  The conv form (flipped kernel, in/out
+    # swapped) is fine standalone (12.9 ms) but IN-SITU XLA picks an
+    # emitter that puts the 8 output channels on lanes — measured
+    # **135 ms** for the same op inside the full-model backward (the
+    # hottest op of the whole train step after the dk fix).  Instead:
+    #   U[t·ci+c, j] = Σ_co k2[t, c, co] · dy_pad[co, j]   (full-M dots)
+    #   dx[c, m]     = Σ_t U[t·ci+c, m + 2p − t]           (sublane slabs)
+    # Everything lives channel-/tap-major, so slab reads are full 8-row
+    # sublane tiles and no 8-wide lane tensor is ever materialised.
+    dx = _stem_dx_mm(x2, k2, dy)
+
+    # bf16 operands match the MXU passes the native conv already runs for
+    # f32 inputs; accumulation stays f32.  On CPU (tests) keep f32 exact.
+    from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+
+    cd = (
+        jnp.bfloat16
+        if (x2.dtype == jnp.float32 and on_tpu_default_device())
+        else x2.dtype
+    )
+    # Patch rows are built CHANNEL-MAJOR: one upfront transpose of the
+    # C_in=8 input to (ci, b, d, h, w) and every tap slab/concat then
+    # lives in full-lane layouts.  (Channels-last slabs of an 8-channel
+    # tensor tile as T(8,128) with 8 of 128 lanes live — the first
+    # attempt's pad/slice/concat fusions ran at ~38 GB/s and cost ~75 ms.)
+    # One patch group per leading (depth) tap keeps the live patch buffer
+    # at ~0.2 GB — the full (N, 1000) matrix plus its layout copy blew the
+    # 15.75 GB HBM budget in-situ (the stem backward sits at the liveness
+    # peak of the whole-model backward); groups have disjoint outputs, so
+    # there is no accumulation across them.  The (taps*ci, co) result
+    # orientation makes the trailing kernel-shape reshape free, and the
+    # optimization_barrier stops XLA from fusing the dot into the
+    # make_s2d_kernel gather-backward that consumes dk — without it the
+    # compiler restructured the matmul into a 7-D contraction over the
+    # patch matrix with two extra full-size copies (~30 ms; profiled in
+    # tpu_diag_stemvjp.py).
+    xt = jnp.transpose(x2.astype(cd), (4, 0, 1, 2, 3))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (p, p), (p, p), (p, p)))
+    dyf = dy.astype(cd).reshape(n, co)
+    groups = []
+    for a in range(ks):
+        slabs = [
+            jax.lax.dynamic_slice(xt, (0, 0, a, bh, cw), (ci, b, d, h, w))
+            for bh in range(ks) for cw in range(ks)
+        ]
+        pat_t = jnp.concatenate(slabs, axis=0).reshape(ks * ks * ci, n)
+        dk_a = jax.lax.dot_general(
+            pat_t, dyf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        groups.append(jax.lax.optimization_barrier(dk_a))
+    dk = jnp.concatenate(groups, axis=0)
+    dk = dk.reshape(ks, ks, ks, ci, co).astype(k2.dtype)
+    return dx, dk
+
+
+conv_s2d_stem_diff.defvjp(_stem_conv_fwd, _stem_conv_bwd)
+
+
 def conv3d_s2d(
     x: jax.Array,
     kernel: jax.Array,

@@ -1,0 +1,128 @@
+"""Equivalence tests for the MXU-friendly conv reformulations
+(`ops/conv3d_fast.py`) and their routing in PoseNet3D's blocks."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hiddenpose_tpu.ops.conv3d_fast import (
+    conv1x1x1_mm,
+    conv3x3x3_d2d,
+    conv_transpose4_s2_mm,
+)
+
+rng = np.random.RandomState(7)
+
+
+def _native(x, k, stride):
+    p = k.shape[0] // 2
+    return jax.lax.conv_general_dilated(
+        x, k, (stride,) * 3, [(p, p)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv1x1_mm_matches_native(stride):
+    x = jnp.asarray(rng.rand(2, 6, 6, 6, 16).astype(np.float32))
+    k = jnp.asarray(rng.rand(1, 1, 1, 16, 8).astype(np.float32))
+    np.testing.assert_allclose(
+        conv1x1x1_mm(x, k, stride), _native(x, k, stride), rtol=1e-6, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv3_d2d_matches_native(stride):
+    x = jnp.asarray(rng.rand(2, 6, 6, 6, 8).astype(np.float32))
+    k = jnp.asarray(rng.rand(3, 3, 3, 8, 4).astype(np.float32))
+    np.testing.assert_allclose(
+        conv3x3x3_d2d(x, k, stride), _native(x, k, stride), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_deconv_mm_matches_flax():
+    from flax import linen as nn
+
+    x = jnp.asarray(rng.rand(2, 5, 6, 7, 8).astype(np.float32))
+    k = jnp.asarray((rng.rand(4, 4, 4, 8, 4) - 0.5).astype(np.float32))
+    ref = nn.ConvTranspose(
+        4, (4, 4, 4), strides=(2, 2, 2), padding="SAME", use_bias=False
+    ).apply({"params": {"kernel": k}}, x)
+    np.testing.assert_allclose(
+        conv_transpose4_s2_mm(x, k), ref, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_gradients_match_native():
+    x = jnp.asarray(rng.rand(1, 5, 5, 5, 8).astype(np.float32))
+    k1 = jnp.asarray(rng.rand(1, 1, 1, 8, 4).astype(np.float32))
+    k3 = jnp.asarray(rng.rand(3, 3, 3, 8, 4).astype(np.float32))
+
+    for fast, k, stride in (
+        (conv1x1x1_mm, k1, 1),
+        (conv1x1x1_mm, k1, 2),
+        (conv3x3x3_d2d, k3, 1),
+        (conv3x3x3_d2d, k3, 2),
+    ):
+        gf = jax.grad(lambda x, k: jnp.sum(fast(x, k, stride) ** 2), (0, 1))
+        gn = jax.grad(lambda x, k: jnp.sum(_native(x, k, stride) ** 2), (0, 1))
+        for a, b in zip(gf(x, k), gn(x, k)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_deconv_gradients_match_flax():
+    from flax import linen as nn
+
+    x = jnp.asarray(rng.rand(1, 4, 4, 4, 8).astype(np.float32))
+    k = jnp.asarray((rng.rand(4, 4, 4, 8, 4) - 0.5).astype(np.float32))
+    mod = nn.ConvTranspose(
+        4, (4, 4, 4), strides=(2, 2, 2), padding="SAME", use_bias=False
+    )
+    gf = jax.grad(
+        lambda x, k: jnp.sum(conv_transpose4_s2_mm(x, k) ** 2), (0, 1)
+    )
+    gn = jax.grad(
+        lambda x, k: jnp.sum(
+            mod.apply({"params": {"kernel": k}}, x) ** 2
+        ),
+        (0, 1),
+    )
+    for a, b in zip(gf(x, k), gn(x, k)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_posenet_block_routing_is_equivalent():
+    """Bottleneck + DeconvHead forward/grads identical with routing on/off."""
+    from hiddenpose_tpu.models.posenet3d import Bottleneck, DeconvHead
+
+    x = jnp.asarray(rng.rand(1, 6, 6, 6, 16).astype(np.float32))
+    blk = Bottleneck(planes=4, stride=2, use_projection=True, train=False)
+    old = os.environ.get("HP_FASTCONV")
+    try:
+        os.environ["HP_FASTCONV"] = "mm,deconv"
+        v = blk.init(jax.random.PRNGKey(1), x)
+        y_fast = blk.apply(v, x)
+        os.environ["HP_FASTCONV"] = ""
+        y_native = blk.apply(v, x)
+        np.testing.assert_allclose(y_fast, y_native, rtol=1e-5, atol=1e-5)
+
+        head = DeconvHead(num_joints=3)
+        h = jnp.asarray(rng.rand(1, 4, 4, 4, 32).astype(np.float32))
+        os.environ["HP_FASTCONV"] = "mm,deconv"
+        hv = head.init(jax.random.PRNGKey(2), h)
+        os.environ["HP_FASTCONV"] = ""
+        ref = head.apply(hv, h)
+        os.environ["HP_FASTCONV"] = "mm,deconv"
+        np.testing.assert_allclose(
+            head.apply(hv, h), ref, rtol=1e-5, atol=1e-5
+        )
+    finally:
+        if old is None:
+            os.environ.pop("HP_FASTCONV", None)
+        else:
+            os.environ["HP_FASTCONV"] = old

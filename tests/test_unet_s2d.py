@@ -55,3 +55,33 @@ def test_unet_param_tree_stable():
         assert set(p[blk]["gn1"]) == {"scale", "bias"}
     assert set(p["out"]) == {"kernel", "bias"}
     assert p["out"]["kernel"].shape == (1, 1, 1, 4, 1)
+
+
+def test_max_pool2_planes_custom_vjp_matches_select_and_scatter():
+    """The mask-based pool backward == jax's select_and_scatter gradient,
+    including first-match-in-window tie routing (all-ties + duplicated-max
+    cases)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hiddenpose_tpu.models.unet3d import (
+        _max_pool2_impl,
+        max_pool2_planes,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        jnp.asarray(rng.rand(2, 3, 8, 8, 8).astype(np.float32)),
+        jnp.ones((2, 3, 8, 8, 8), jnp.float32),
+        jnp.asarray(
+            np.repeat(rng.rand(2, 3, 8, 8, 4).astype(np.float32), 2, axis=4)
+        ),
+    ]
+    ct = jnp.asarray(rng.rand(2, 3, 4, 4, 4).astype(np.float32))
+    for x in cases:
+        y1, p1 = jax.vjp(max_pool2_planes, x)
+        y0, p0 = jax.vjp(_max_pool2_impl, x)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+        np.testing.assert_array_equal(
+            np.asarray(p1(ct)[0]), np.asarray(p0(ct)[0])
+        )
