@@ -201,8 +201,12 @@ class StencilConv3(nn.Module):
             # hardware kernel — ROADMAP #4)
             and xp.shape[-1] >= 32
             and xp.shape[-2] % 8 == 0
-            # compile-time bound: the kernel body unrolls 27*cin*cout FMAs
-            and cin * self.features <= 32
+            # compile-time bound: the kernel body unrolls 27*cin*cout FMAs.
+            # 64 admits the UNet's 8->8 and 12->4 convs at 64^3, which the
+            # XLA fallback ran at ~0.5 TF/s with C-minor relayout copies
+            # around them (UNet infer profile, tpu_jobs/007); Mosaic
+            # compile stays seconds-per-config at a 1728-FMA body.
+            and cin * self.features <= 64
         )
         if eligible:
             # custom-VJP wrapper: identical kernel forward; the backward

@@ -108,28 +108,29 @@ def _max_pool2_fwd(x):
 
 
 def _max_pool2_bwd(res, dy):
-    # Phase grads are re-interleaved with interior-padded adds — an
-    # `x.at[strided].set` assembly lowered to eight sequential 16 ms
-    # scatter fusions at the UNet's 128^3 level (profiled in
-    # tpu_jobs/004); lax.pad is lazy inside XLA fusions, so the 8
-    # pads + adds become one output pass.
+    # One phase-major relayout -> contiguous mask math -> one inverse
+    # relayout.  Earlier formulations lowered badly: strided
+    # `x[:, :, p::2, ...]` slices became eight 2.8 ms gather fusions and
+    # `.at[::2].set` / interior-padded assemblies became 16 ms scatters /
+    # 4.5 ms unfused pads at the C-minor layouts XLA picks around the
+    # Pallas conv custom-calls (profiles in tpu_jobs/004/005/011).  The
+    # two transposes here are single well-formed relayout copies and all
+    # the mask work is elementwise on contiguous tensors.
     x, y = res
-    zero = jnp.zeros((), dy.dtype)
-    taken = None
-    dx = None
-    for pd in (0, 1):
-        for ph in (0, 1):
-            for pw in (0, 1):
-                sl = x[:, :, pd::2, ph::2, pw::2]
-                eq = sl == y
-                m = eq if taken is None else (eq & ~taken)
-                taken = eq if taken is None else (taken | eq)
-                v = jnp.where(m, dy, zero).astype(x.dtype)
-                cfg = [(0, 0, 0), (0, 0, 0)] + [
-                    (p, 1 - p, 1) for p in (pd, ph, pw)
-                ]
-                v = jax.lax.pad(v, jnp.zeros((), x.dtype), cfg)
-                dx = v if dx is None else dx + v
+    b, c, d, h, w = x.shape
+    xs = x.reshape(b, c, d // 2, 2, h // 2, 2, w // 2, 2)
+    xs = xs.transpose(0, 3, 5, 7, 1, 2, 4, 6).reshape(
+        b, 8, c, d // 2, h // 2, w // 2
+    )
+    eq = xs == y[:, None]
+    # First maximal element in row-major window order == phase-axis order:
+    # the first occurrence is where the inclusive cumulative count is 1.
+    first = eq & (jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1)
+    dxs = jnp.where(first, dy[:, None], jnp.zeros((), dy.dtype))
+    dx = dxs.astype(x.dtype).reshape(
+        b, 2, 2, 2, c, d // 2, h // 2, w // 2
+    )
+    dx = dx.transpose(0, 4, 5, 1, 6, 2, 7, 3).reshape(b, c, d, h, w)
     return (dx,)
 
 

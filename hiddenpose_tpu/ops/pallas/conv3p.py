@@ -1053,10 +1053,21 @@ def _conv3p_diff_bwd(act, pad_mode, interpret, td_override, res, g):
         dz, kernel, pad_mode=pad_mode, interpret=interpret,
         td_override=td_override,
     ).astype(x.dtype)
-    dk, db = conv3_planes_wgrad(
-        x, dz, pad_mode=pad_mode, has_bias=bias is not None,
-        interpret=interpret,
-    )
+    cin, cout = x.shape[1], dz.shape[1]
+    if cin * cout <= 32:
+        dk, db = conv3_planes_wgrad(
+            x, dz, pad_mode=pad_mode, has_bias=bias is not None,
+            interpret=interpret,
+        )
+    else:
+        # The wgrad kernel's resident (27*cin*cout, H, W) accumulator and
+        # its unrolled FMA count cap it at cin*cout <= 32; the forward /
+        # adjoint kernels go to 64 (admitting the UNet's 8->8 and 12->4
+        # convs).  In the 32 < cin*cout <= 64 band keep the kernelled
+        # fwd/dx and take XLA's correlation for dk (~3.4 ms at the 64^3
+        # 8->8 shape — tolerable, unlike its 1x-channel cousins).
+        dk = _weight_grad_xla(x, dz, pad_mode)
+        db = dz.sum(axis=(0, 2, 3, 4)) if bias is not None else None
     dk = dk.astype(kernel.dtype)
     db = db.astype(bias.dtype) if bias is not None else None
     dres = dz.astype(residual.dtype) if residual is not None else None

@@ -218,3 +218,25 @@ def test_conv3p_db_adjoint_wgrad_match_blocking(pad):
                                   db=True)
     np.testing.assert_array_equal(np.asarray(dk0), np.asarray(dk1))
     np.testing.assert_array_equal(np.asarray(db0), np.asarray(db1))
+
+
+def test_diff_wgrad_fallback_band():
+    """32 < cin*cout <= 64: kernelled fwd/dx with XLA dk/db (the wgrad
+    kernel's resident accumulator caps at 32) — gradients must match the
+    XLA reference exactly on CPU."""
+    rng = np.random.RandomState(5)
+    for cin, cout in ((8, 8), (12, 4)):
+        x = jnp.asarray(rng.rand(1, cin, 8, 8, 8).astype(np.float32))
+        k = jnp.asarray((rng.rand(3, 3, 3, cin, cout) - 0.5).astype(np.float32))
+        bias = jnp.asarray(rng.rand(cout).astype(np.float32))
+        ct = jnp.asarray(rng.rand(1, cout, 8, 8, 8).astype(np.float32))
+        _, p1 = jax.vjp(
+            lambda x, k, b: conv3_planes_diff(x, k, b, act="relu"), x, k, bias
+        )
+        _, p0 = jax.vjp(
+            lambda x, k, b: conv3_planes_xla(x, k, b, act="relu"), x, k, bias
+        )
+        for a, b2 in zip(p1(ct), p0(ct)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b2), rtol=1e-5, atol=1e-5
+            )
