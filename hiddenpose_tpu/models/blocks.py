@@ -326,10 +326,15 @@ class FeatureExtraction(nn.Module):
                 "corner_kernel", corner_mask_init, (3, 3, 3, x.shape[-1], 1)
             )
             if use_pallas:
+                # Learned branch rides the kernel's fused residual input —
+                # one fewer full-volume pass than a separate h + h2 add.
+                res = h if self.basedim == 1 else None
                 h2 = conv3_planes_diff(
                     xp.astype(self.dtype), corner.astype(self.dtype),
-                    pad_mode="zero",
+                    residual=res, pad_mode="zero",
                 )
+                if res is not None:
+                    return jnp.transpose(h2, (0, 2, 3, 4, 1))
             else:
                 h2 = jax.lax.conv_general_dilated(
                     xp.astype(self.dtype),

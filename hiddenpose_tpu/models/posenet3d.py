@@ -85,6 +85,7 @@ class FastDeconv(nn.Module):
     def __call__(self, x):
         from hiddenpose_tpu.ops.conv3d_fast import (
             conv_transpose4_s2_mm,
+            deconv4_s2_diff,
             fast_modes,
         )
 
@@ -95,10 +96,9 @@ class FastDeconv(nn.Module):
         kernel = kernel.astype(self.dtype)
         if "deconv" in fast_modes():
             return conv_transpose4_s2_mm(x, kernel)
-        return jax.lax.conv_transpose(
-            x, kernel, (2, 2, 2), "SAME",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
+        # Native forward; custom backward (phase-matmul dk, strided-conv
+        # dx) — see ops/conv3d_fast.py::deconv4_s2_diff.
+        return deconv4_s2_diff(x, kernel)
 
 
 class Bottleneck(nn.Module):

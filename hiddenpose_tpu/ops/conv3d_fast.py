@@ -96,6 +96,95 @@ def conv3x3x3_d2d(x: jax.Array, k: jax.Array, stride: int = 1) -> jax.Array:
     return acc.reshape(b, dout, ho, wo, co).astype(x.dtype)
 
 
+def _deconv_fwd_impl(x, k):
+    return jax.lax.conv_transpose(
+        x, k, (2, 2, 2), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+@jax.custom_vjp
+def deconv4_s2_diff(x: jax.Array, k: jax.Array) -> jax.Array:
+    """ConvTranspose(k4, s2, SAME, NDHWC) with a rewritten backward.
+
+    Forward: the native XLA conv_transpose (its in-situ lowering is fine).
+    dx: the exact adjoint as a stride-2 conv of dy with the spatially
+    reversed, in/out-swapped kernel and (1, 2) padding — the strided conv
+    emitter is well-lowered (tpu_diag_conv.py case c).
+    dk: per (output-phase, tap) matmuls with M = C_in (256..2048 — full
+    MXU rows), replacing XLA's correlation lowering (~9 ms across the
+    head's three deconvs in the train-step backward, profile
+    tpu_jobs/005).  Phase extraction of dy uses one phase-major relayout
+    (strided slices lower to gather fusions on TPU).
+
+    Index law (delta-probe): y[2i+p] = Σ_m x[i+p+m-1] · k[2m+p] per axis,
+    so dk[2m+p] = Σ_i x[i+p+m-1] · dy[2i+p] and
+    dx[j] = Σ_t dy[2j-1+t'] · k[3-t'] summed over C_out."""
+    return _deconv_fwd_impl(x, k)
+
+
+def _deconv_fwd(x, k):
+    return _deconv_fwd_impl(x, k), (x, k)
+
+
+def _deconv_bwd(res, dy):
+    from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+
+    x, k = res
+    b, d, h, w, ci = x.shape
+    co = k.shape[4]
+    n = b * d * h * w
+
+    # dx: stride-2 conv with reversed, io-swapped kernel, padding (1, 2).
+    kr = jnp.flip(k, (0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx = jax.lax.conv_general_dilated(
+        dy.astype(x.dtype), kr.astype(x.dtype), (2, 2, 2),
+        [(1, 2)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=_pref(x),
+    ).astype(x.dtype)
+
+    cd = (
+        jnp.bfloat16
+        if (x.dtype == jnp.float32 and on_tpu_default_device())
+        else x.dtype
+    )
+    # Phase-major dy: (B, 2, 2, 2, D, H, W, co) via one relayout.
+    dyp = dy.astype(cd).reshape(b, d, 2, h, 2, w, 2, co)
+    dyp = jnp.transpose(dyp, (0, 2, 4, 6, 1, 3, 5, 7))
+    # x channel-major, padded by 1 per spatial axis (source i + p + m - 1).
+    xt = jnp.transpose(x.astype(cd), (4, 0, 1, 2, 3))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+
+    dk = [[None] * 16 for _ in range(4)]  # [t_d][t_h*4+t_w]
+    for pd in range(2):
+        for ph in range(2):
+            for pw in range(2):
+                dyf = dyp[:, pd, ph, pw].reshape(n, co)
+                for md in range(2):
+                    for mh in range(2):
+                        for mw in range(2):
+                            slab = jax.lax.dynamic_slice(
+                                xt,
+                                (0, 0, pd + md, ph + mh, pw + mw),
+                                (ci, b, d, h, w),
+                            ).reshape(ci, n)
+                            t = jax.lax.dot_general(
+                                slab, dyf, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            dk[2 * md + pd][
+                                (2 * mh + ph) * 4 + (2 * mw + pw)
+                            ] = jax.lax.optimization_barrier(t)
+    dk = jnp.stack(
+        [jnp.stack(row, axis=0) for row in dk], axis=0
+    ).reshape(4, 4, 4, ci, co).astype(k.dtype)
+    return dx, dk
+
+
+deconv4_s2_diff.defvjp(_deconv_fwd, _deconv_bwd)
+
+
 def conv_transpose4_s2_mm(x: jax.Array, k: jax.Array) -> jax.Array:
     """ConvTranspose(k4, s2, SAME) on NDHWC as 8 phase outputs of 2^3
     tap-matmuls — flax ``nn.ConvTranspose(strides=2, padding='SAME')``

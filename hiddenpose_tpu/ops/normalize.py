@@ -6,7 +6,22 @@ layout-agnostic; XLA fuses them into neighbouring elementwise work.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _minmax(flat, axis):
+    """Single-pass (min, max) via a variadic lax.reduce — jnp.min + jnp.max
+    cost two full reads of the volume each way."""
+    init_lo = jnp.asarray(jnp.inf, flat.dtype)
+    init_hi = jnp.asarray(-jnp.inf, flat.dtype)
+
+    def comp(acc, val):
+        return (
+            jnp.minimum(acc[0], val[0]), jnp.maximum(acc[1], val[1])
+        )
+
+    return jax.lax.reduce((flat, flat), (init_lo, init_hi), comp, (axis,))
 
 
 def normalize(x):
@@ -16,8 +31,9 @@ def normalize(x):
     """
     b, c = x.shape[:2]
     flat = x.reshape(b, c, -1)
-    flat = flat - flat.min(axis=2, keepdims=True)
-    flat = flat / (flat.max(axis=2, keepdims=True) + 1e-15)
+    lo, hi = _minmax(flat, 2)
+    lo = lo[:, :, None]
+    flat = (flat - lo) / (hi[:, :, None] - lo + 1e-15)
     return flat.reshape(x.shape)
 
 
@@ -36,8 +52,9 @@ def normalize_last(x):
     trailing channel axis. x: (B, ..., C)."""
     b, c = x.shape[0], x.shape[-1]
     flat = x.reshape(b, -1, c)
-    flat = flat - flat.min(axis=1, keepdims=True)
-    flat = flat / (flat.max(axis=1, keepdims=True) + 1e-15)
+    lo, hi = _minmax(flat, 1)
+    lo = lo[:, None, :]
+    flat = (flat - lo) / (hi[:, None, :] - lo + 1e-15)
     return flat.reshape(x.shape)
 
 

@@ -96,6 +96,15 @@ def main():
             out.close()
             with open(base + ".done", "w") as dn:
                 dn.write(status)
+            # Host-memory hygiene: jax's global jit registries pin every
+            # executable + its traced host constants forever; 18 jobs of
+            # full-model work grew this process to 113 GB and the kernel
+            # OOM-killed it (dmesg 2026-08-18).  Dropping the caches costs
+            # a recompile on reuse — the relay's remote compile isn't
+            # locally cached anyway.
+            import gc
+            jax.clear_caches()
+            gc.collect()
             print(f"[worker] {f}: {status}", flush=True)
         time.sleep(2)
 

@@ -126,3 +126,23 @@ def test_posenet_block_routing_is_equivalent():
             os.environ.pop("HP_FASTCONV", None)
         else:
             os.environ["HP_FASTCONV"] = old
+
+
+def test_deconv_custom_vjp_matches_flax():
+    """deconv4_s2_diff (native fwd, phase-matmul dk, strided-conv dx) ==
+    flax ConvTranspose gradients."""
+    from hiddenpose_tpu.ops.conv3d_fast import (
+        _deconv_fwd_impl,
+        deconv4_s2_diff,
+    )
+
+    x = jnp.asarray(rng.rand(2, 4, 6, 5, 8).astype(np.float32))
+    k = jnp.asarray((rng.rand(4, 4, 4, 8, 4) - 0.5).astype(np.float32))
+    ct = jnp.asarray(rng.rand(2, 8, 12, 10, 4).astype(np.float32))
+    y1, p1 = jax.vjp(deconv4_s2_diff, x, k)
+    y0, p0 = jax.vjp(_deconv_fwd_impl, x, k)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-6)
+    for a, b in zip(p1(ct), p0(ct)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
+        )
