@@ -107,30 +107,48 @@ def _max_pool2_fwd(x):
     return y, (x, y)
 
 
+def _pair_mate(t, axis):
+    """Swap elements within non-overlapping pairs along `axis`:
+    out[2k] = t[2k+1], out[2k+1] = t[2k].  Rolls + a parity select —
+    stays elementwise (no strided slices, which lower to gathers)."""
+    fwd = jnp.roll(t, -1, axis)
+    bwd = jnp.roll(t, 1, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, axis)
+    return jnp.where(idx % 2 == 0, fwd, bwd)
+
+
+def _pair_prev(t, axis):
+    """OR-of-earlier-mate within pairs: out[2k] = False, out[2k+1] = t[2k]."""
+    bwd = jnp.roll(t, 1, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, axis)
+    return jnp.where(idx % 2 == 1, bwd, jnp.zeros((), t.dtype)).astype(bool)
+
+
 def _max_pool2_bwd(res, dy):
-    # One phase-major relayout -> contiguous mask math -> one inverse
-    # relayout.  Earlier formulations lowered badly: strided
-    # `x[:, :, p::2, ...]` slices became eight 2.8 ms gather fusions and
-    # `.at[::2].set` / interior-padded assemblies became 16 ms scatters /
-    # 4.5 ms unfused pads at the C-minor layouts XLA picks around the
-    # Pallas conv custom-calls (profiles in tpu_jobs/004/005/011).  The
-    # two transposes here are single well-formed relayout copies and all
-    # the mask work is elementwise on contiguous tensors.
+    # All-elementwise formulation in the ORIGINAL layout.  Three earlier
+    # attempts lowered badly on TPU (profiles in tpu_jobs/004/005/011/012):
+    # strided `x[:, :, p::2]` slices became 2.8 ms gather fusions,
+    # `.at[::2].set` became 16 ms scatters, interior-padded adds stayed
+    # unfused at C-minor layouts, and the phase-major transpose pair cost
+    # ~27 ms in 8-D relayouts.  Here everything is rolls / parity selects /
+    # compares at the pool input's own layout:
+    #   m     = (x == y↑)                    (y↑ = nearest upsample)
+    #   first = m & ~(earlier mate matched)  (lexicographic window order,
+    #            composed per axis: earlier-w same (d,h); earlier-h any w;
+    #            earlier-d any (h,w))
+    #   dx    = first ? dy↑ : 0
     x, y = res
-    b, c, d, h, w = x.shape
-    xs = x.reshape(b, c, d // 2, 2, h // 2, 2, w // 2, 2)
-    xs = xs.transpose(0, 3, 5, 7, 1, 2, 4, 6).reshape(
-        b, 8, c, d // 2, h // 2, w // 2
+    up = lambda t: jnp.repeat(
+        jnp.repeat(jnp.repeat(t, 2, 2), 2, 3), 2, 4
     )
-    eq = xs == y[:, None]
-    # First maximal element in row-major window order == phase-axis order:
-    # the first occurrence is where the inclusive cumulative count is 1.
-    first = eq & (jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1)
-    dxs = jnp.where(first, dy[:, None], jnp.zeros((), dy.dtype))
-    dx = dxs.astype(x.dtype).reshape(
-        b, 2, 2, 2, c, d // 2, h // 2, w // 2
-    )
-    dx = dx.transpose(0, 4, 5, 1, 6, 2, 7, 3).reshape(b, c, d, h, w)
+    m = x == up(y)
+    a_w = _pair_prev(m, 4)
+    p_w = m | _pair_mate(m, 4)
+    a_h = _pair_prev(p_w, 3)
+    p_h = p_w | _pair_mate(p_w, 3)
+    a_d = _pair_prev(p_h, 2)
+    first = m & ~(a_w | a_h | a_d)
+    dx = jnp.where(first, up(dy), jnp.zeros((), dy.dtype)).astype(x.dtype)
     return (dx,)
 
 

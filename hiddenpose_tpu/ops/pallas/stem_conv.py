@@ -150,6 +150,11 @@ def stem_conv_raw_pallas(
     s2d-space result (B, D/2, H/2, W/2, C_out)."""
     b, d, h, w, c = x.shape
     assert c == 1
+    # Barrier: without it the in-situ compiler fuses the producer into the
+    # s2d transpose at a layout that then needs a fixup copy — measured
+    # ~7.8 ms for this chain inside the e2e forward vs ~4 ms standalone
+    # (tpu_jobs/020/022).
+    x = jax.lax.optimization_barrier(x)
     xp = x.astype(jnp.float32).reshape(b, d // 2, 2, h // 2, 2, w // 2, 2)
     xp = xp.transpose(0, 2, 4, 6, 1, 3, 5).reshape(
         b, 8, d // 2, h // 2, w // 2
