@@ -238,9 +238,8 @@ class StemS2D(nn.Module):
             pallas_enabled()
             if self.use_pallas is None else self.use_pallas
         )
-        pallas_ok = (
-            not self.train
-            and use_pallas
+        kernel_shapes_ok = (
+            use_pallas
             and pallas_enabled()
             and x.shape[-1] == 1
             and (x.shape[1] // 2) % 4 == 0
@@ -251,6 +250,13 @@ class StemS2D(nn.Module):
             # the kernel targets the production 128-wide volumes.
             and x.shape[3] // 2 == 64
         )
+        pallas_ok = not self.train and kernel_shapes_ok
+        # Measured negative result (tpu_jobs/029): routing the TRAIN
+        # forward through the Pallas kernel too (conv_stem_raw_diff,
+        # affine disabled) REGRESSED the step 423 -> 496 ms — XLA fuses
+        # the conv with the BN-statistic sums and its consumers' layouts,
+        # which the kernel boundary breaks.  The kernel stays
+        # inference-only; training keeps the XLA conv + matmul-VJP.
         y2 = None
         if not pallas_ok:
             # Custom-VJP conv: the native weight-gradient of this C_in=8

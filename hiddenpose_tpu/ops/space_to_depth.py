@@ -296,6 +296,43 @@ def _stem_conv_bwd(res, dy):
 conv_s2d_stem_diff.defvjp(_stem_conv_fwd, _stem_conv_bwd)
 
 
+def _stem_raw_fwd_impl(x, k2):
+    from hiddenpose_tpu.ops.pallas.stem_conv import stem_conv_raw_pallas
+
+    c_out = k2.shape[-1]
+    one = jnp.ones((c_out,), jnp.float32)
+    zero = jnp.zeros((c_out,), jnp.float32)
+    return stem_conv_raw_pallas(x, k2, one, zero, relu=False)
+
+
+@jax.custom_vjp
+def conv_stem_raw_diff(x: jax.Array, k2: jax.Array) -> jax.Array:
+    """Training-path stem conv straight from the RAW volume: the fused
+    Pallas kernel forward (affine disabled — exact-f32 conv whose output
+    is already in the phase-pool kernel's layout, saving the two ~3.3 ms
+    relayout fusions the XLA conv output needed) with the same
+    matmul-form backward as :func:`conv_s2d_stem_diff` (the s2d input is
+    a permutation of the raw volume, recomputed in the backward).
+
+    x (B, D, H, W, 1) -> (B, D/2, H/2, W/2, 8*C_out-equivalent s2d
+    output); only valid on shapes the kernel supports (W/2 == 64)."""
+    return _stem_raw_fwd_impl(x, k2)
+
+
+def _stem_raw_fwd(x, k2):
+    return _stem_raw_fwd_impl(x, k2), (x, k2)
+
+
+def _stem_raw_bwd(res, dy):
+    x, k2 = res
+    x2 = space_to_depth_3d(x)
+    dx2, dk = _stem_conv_bwd((x2, k2), dy)
+    return depth_to_space_3d(dx2).astype(x.dtype), dk
+
+
+conv_stem_raw_diff.defvjp(_stem_raw_fwd, _stem_raw_bwd)
+
+
 def conv3d_s2d(
     x: jax.Array,
     kernel: jax.Array,

@@ -91,3 +91,30 @@ def test_stem_conv_custom_vjp_matches_native():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
         )
+
+
+def test_stem_raw_diff_matches_s2d_diff():
+    """conv_stem_raw_diff (Pallas train-forward from the raw volume) ==
+    conv_s2d_stem_diff on the s2d input: same forward (f32 reassociation
+    only) and identical gradients (shared backward)."""
+    from hiddenpose_tpu.ops.space_to_depth import (
+        conv_s2d_stem_diff,
+        conv_stem_raw_diff,
+        depth_to_space_3d,
+    )
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(1, 8, 8, 128, 1).astype(np.float32))
+    k2 = jnp.asarray((rng.rand(5, 5, 5, 8, 16) - 0.5).astype(np.float32))
+    ct = jnp.asarray(rng.rand(1, 4, 4, 64, 16).astype(np.float32))
+    y1, p1 = jax.vjp(conv_stem_raw_diff, x, k2)
+    y0, p0 = jax.vjp(conv_s2d_stem_diff, space_to_depth_3d(x), k2)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-5
+    )
+    dx1, dk1 = p1(ct)
+    dx0, dk0 = p0(ct)
+    np.testing.assert_array_equal(np.asarray(dk1), np.asarray(dk0))
+    np.testing.assert_array_equal(
+        np.asarray(dx1), np.asarray(depth_to_space_3d(dx0))
+    )
