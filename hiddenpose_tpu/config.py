@@ -69,8 +69,10 @@ class ModelConfig:
     # fit 128^3 b2 on one v5e; with the round-3 backward work the no-remat
     # gradient both fits at the reference batch (b2) and is ~41 ms faster
     # (284.6 vs 325.7 ms posenet grad, tpu_diag_stemvjp.py), so off is the
-    # default.  Set True for batch sizes whose saved block activations
-    # exceed HBM (roughly b >= 4 at 128^3 on one 16 GB chip).
+    # default.  Measured at 128^3: b2 fits with remat off; b4 exceeds the
+    # 16 GB HBM with remat on OR off (tpu_jobs/031) — single-chip training
+    # at the reference resolution is batch-2-max either way, so the flag
+    # only matters for smaller grids / future chips.
     posenet_remat: bool = False
 
 
