@@ -238,8 +238,23 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
             sec = _timeit(lambda: forward(variables, meas, lct)[0], iters)
     else:
         sec = _timeit(lambda: forward(variables, meas, lct)[0], iters)
+
+    # Per-request latency percentiles (BASELINE.md driver metric "p50 e2e
+    # latency"): each sample fenced by a device→host fetch, so this is the
+    # submit→result-available time a caller observes — slightly above
+    # sec_per_iter, which pipelines iterations.
+    lats = []
+    for _ in range(max(iters, 10)):
+        t0 = time.perf_counter()
+        _sync(forward(variables, meas, lct)[0])
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    p90 = lats[int(len(lats) * 0.9)]
     return dict(metric=f"nlospose_infer_{size}^3_b{batch}", sec_per_iter=sec,
-                volumes_per_sec=batch / sec)
+                volumes_per_sec=batch / sec,
+                p50_latency_ms=round(p50 * 1000, 2),
+                p90_latency_ms=round(p90 * 1000, 2))
 
 
 def main():
@@ -268,6 +283,9 @@ def main():
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }
+    for k in ("p50_latency_ms", "p90_latency_ms"):
+        if k in res:
+            out[k] = res[k]
     print(json.dumps(out))
 
 
