@@ -17,6 +17,7 @@ kernel — BASELINE configs[1,4]).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -250,7 +251,9 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
         lats.append(time.perf_counter() - t0)
     lats.sort()
     p50 = lats[len(lats) // 2]
-    p90 = lats[int(len(lats) * 0.9)]
+    # Nearest-rank percentile: ceil(0.9 n) - 1, not int(0.9 n) (which for
+    # n=10 selects index 9 — the maximum).
+    p90 = lats[min(len(lats) - 1, math.ceil(0.9 * len(lats)) - 1)]
     return dict(metric=f"nlospose_infer_{size}^3_b{batch}", sec_per_iter=sec,
                 volumes_per_sec=batch / sec,
                 p50_latency_ms=round(p50 * 1000, 2),

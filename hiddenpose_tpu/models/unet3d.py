@@ -87,7 +87,6 @@ def _max_pool2_impl(x):
     )
 
 
-@jax.custom_vjp
 def max_pool2_planes(x):
     """MaxPool3d(2, 2) on (B, C, D, H, W).
 
@@ -98,7 +97,19 @@ def max_pool2_planes(x):
     routes the cotangent with phase-slice equality masks — pure
     elementwise work.  Semantics match select_and_scatter exactly: the
     gradient goes to the FIRST maximal element in row-major window order
-    (tested incl. the all-ties case)."""
+    (tested incl. the all-ties case).
+
+    The custom backward's pair-mask algebra assumes even D/H/W (the
+    nearest-upsample of the pooled output must tile the input exactly);
+    odd dims — where VALID pooling drops the remainder — fall back to the
+    native VJP instead of failing at trace time."""
+    if any(s % 2 for s in x.shape[2:5]):
+        return _max_pool2_impl(x)
+    return _max_pool2_custom(x)
+
+
+@jax.custom_vjp
+def _max_pool2_custom(x):
     return _max_pool2_impl(x)
 
 
@@ -152,7 +163,7 @@ def _max_pool2_bwd(res, dy):
     return (dx,)
 
 
-max_pool2_planes.defvjp(_max_pool2_fwd, _max_pool2_bwd)
+_max_pool2_custom.defvjp(_max_pool2_fwd, _max_pool2_bwd)
 
 
 def _interp_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:

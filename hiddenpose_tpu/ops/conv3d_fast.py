@@ -128,7 +128,7 @@ def _deconv_fwd(x, k):
 
 
 def _deconv_bwd(res, dy):
-    from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+    from hiddenpose_tpu.ops.conv_acc import bwd_cast_dtype
 
     x, k = res
     b, d, h, w, ci = x.shape
@@ -144,11 +144,7 @@ def _deconv_bwd(res, dy):
         preferred_element_type=_pref(x),
     ).astype(x.dtype)
 
-    cd = (
-        jnp.bfloat16
-        if (x.dtype == jnp.float32 and on_tpu_default_device())
-        else x.dtype
-    )
+    cd = bwd_cast_dtype(x.dtype)
     # Phase-major dy: (B, 2, 2, 2, D, H, W, co) via one relayout.
     dyp = dy.astype(cd).reshape(b, d, 2, h, 2, w, 2, co)
     dyp = jnp.transpose(dyp, (0, 2, 4, 6, 1, 3, 5, 7))

@@ -19,8 +19,33 @@ bf16 is the standard mixed-precision contract (same as flax.linen.Conv with
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def bwd_cast_dtype(dtype) -> jnp.dtype:
+    """Operand dtype for the custom-backward matmuls (stem/deconv VJPs).
+
+    On a TPU default device f32 operands are cast to bf16 — matching the
+    single-pass bf16 MXU passes the native conv lowering already runs at
+    default precision — while accumulation stays f32.  On CPU the exact
+    f32 path is kept so equality tests stay bit-strict.
+
+    ``HP_BWD_CAST={bf16,f32}`` overrides the device-based choice so CI can
+    exercise the reduced-precision TPU path on CPU (a dk-precision
+    regression would otherwise be invisible off-TPU)."""
+    if dtype != jnp.float32:
+        return dtype
+    forced = os.environ.get("HP_BWD_CAST", "")
+    if forced == "bf16":
+        return jnp.bfloat16
+    if forced == "f32":
+        return jnp.float32
+    from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+
+    return jnp.bfloat16 if on_tpu_default_device() else jnp.float32
 
 
 def conv_acc32(

@@ -188,17 +188,13 @@ def _stem_conv_fwd(x2, k2):
 def _stem_dx_mm(x2, k2, dy):
     """Input gradient of the stride-1 SAME stem conv via channel-major
     matmuls + shifted sublane-slab accumulation (see _stem_conv_bwd)."""
-    from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+    from hiddenpose_tpu.ops.conv_acc import bwd_cast_dtype
 
     ks = k2.shape[0]
     p = ks // 2
     ci, co = k2.shape[3], k2.shape[4]
     b, d, h, w, _ = x2.shape
-    cd = (
-        jnp.bfloat16
-        if (x2.dtype == jnp.float32 and on_tpu_default_device())
-        else x2.dtype
-    )
+    cd = bwd_cast_dtype(x2.dtype)
     # dy transposed channel-major and spatially padded by p (padded index
     # j holds dy[j - p]; the tap-t contribution to dx[m] reads dy[m+p-t]
     # = dyp[m + 2p - t], slice starts 2p - t ∈ [0, ks-1]).
@@ -249,14 +245,11 @@ def _stem_conv_bwd(res, dy):
     dx = _stem_dx_mm(x2, k2, dy)
 
     # bf16 operands match the MXU passes the native conv already runs for
-    # f32 inputs; accumulation stays f32.  On CPU (tests) keep f32 exact.
-    from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+    # f32 inputs; accumulation stays f32.  On CPU (tests) keep f32 exact
+    # unless HP_BWD_CAST forces the TPU path (see conv_acc.bwd_cast_dtype).
+    from hiddenpose_tpu.ops.conv_acc import bwd_cast_dtype
 
-    cd = (
-        jnp.bfloat16
-        if (x2.dtype == jnp.float32 and on_tpu_default_device())
-        else x2.dtype
-    )
+    cd = bwd_cast_dtype(x2.dtype)
     # Patch rows are built CHANNEL-MAJOR: one upfront transpose of the
     # C_in=8 input to (ci, b, d, h, w) and every tap slab/concat then
     # lives in full-lane layouts.  (Channels-last slabs of an 8-channel

@@ -29,8 +29,17 @@ import traceback
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_hp")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-JOBS = "/tmp/tpu_jobs"
-os.makedirs(JOBS, exist_ok=True)
+# Job dir defaults to a user-owned 0700 directory (a world-writable /tmp
+# path would let any local user drop jobs that exec() as this user).
+JOBS = os.environ.get(
+    "TPU_JOBS_DIR", os.path.join(os.path.expanduser("~"), ".tpu_jobs")
+)
+os.makedirs(JOBS, mode=0o700, exist_ok=True)
+_st = os.stat(JOBS)
+if _st.st_uid != os.getuid():
+    sys.exit(f"[worker] refusing job dir {JOBS}: owned by uid {_st.st_uid}")
+if _st.st_mode & 0o022:
+    os.chmod(JOBS, 0o700)
 
 import numpy as np  # noqa: E402
 

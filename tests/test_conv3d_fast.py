@@ -146,3 +146,26 @@ def test_deconv_custom_vjp_matches_flax():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
         )
+
+
+def test_deconv_bwd_bf16_cast_path(monkeypatch):
+    """deconv4_s2_diff backward with the TPU bf16-operand cast forced on
+    CPU (HP_BWD_CAST=bf16) stays within mixed-precision tolerance of the
+    exact f32 gradients (ADVICE r3)."""
+    from hiddenpose_tpu.ops.conv3d_fast import (
+        _deconv_fwd_impl,
+        deconv4_s2_diff,
+    )
+
+    x = jnp.asarray(rng.rand(2, 4, 6, 5, 8).astype(np.float32))
+    k = jnp.asarray((rng.rand(4, 4, 4, 8, 4) - 0.5).astype(np.float32))
+    ct = jnp.asarray(rng.rand(2, 8, 12, 10, 4).astype(np.float32))
+    y0, p0 = jax.vjp(_deconv_fwd_impl, x, k)
+    monkeypatch.setenv("HP_BWD_CAST", "bf16")
+    y1, p1 = jax.vjp(deconv4_s2_diff, x, k)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-6)
+    for a, b in zip(p1(ct), p0(ct)):
+        b = np.asarray(b)
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=2e-2, atol=2e-2 * np.abs(b).max()
+        )

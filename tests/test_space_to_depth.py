@@ -118,3 +118,29 @@ def test_stem_raw_diff_matches_s2d_diff():
     np.testing.assert_array_equal(
         np.asarray(dx1), np.asarray(depth_to_space_3d(dx0))
     )
+
+
+def test_stem_conv_bwd_bf16_cast_path(monkeypatch):
+    """Force the TPU bf16-operand backward (HP_BWD_CAST=bf16) on CPU and
+    check dx/dk against the exact f32 grads — the reduced-precision matmul
+    path is otherwise never exercised by CI (ADVICE r3)."""
+    from hiddenpose_tpu.ops.space_to_depth import (
+        _stem_conv_fwd_impl,
+        conv_s2d_stem_diff,
+    )
+
+    rng = np.random.RandomState(13)
+    x2 = jnp.asarray(rng.rand(1, 6, 6, 6, 8).astype(np.float32))
+    k2 = jnp.asarray((rng.rand(5, 5, 5, 8, 16) - 0.5).astype(np.float32))
+    ct = jnp.asarray(rng.rand(1, 6, 6, 6, 16).astype(np.float32))
+
+    y0, pull0 = jax.vjp(_stem_conv_fwd_impl, x2, k2)
+    monkeypatch.setenv("HP_BWD_CAST", "bf16")
+    y1, pull1 = jax.vjp(conv_s2d_stem_diff, x2, k2)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-6)
+    for a, b in zip(pull1(ct), pull0(ct)):
+        b = np.asarray(b)
+        # bf16 operands, f32 accumulation: ~0.4% relative on these sums.
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=2e-2, atol=2e-2 * np.abs(b).max()
+        )

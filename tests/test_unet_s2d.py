@@ -85,3 +85,26 @@ def test_max_pool2_planes_custom_vjp_matches_select_and_scatter():
         np.testing.assert_array_equal(
             np.asarray(p1(ct)[0]), np.asarray(p0(ct)[0])
         )
+
+
+def test_max_pool2_planes_odd_dims_fall_back_to_native():
+    """Odd D/H/W (VALID pooling drops the remainder) must route to the
+    native VJP instead of failing the custom backward's even-dim algebra
+    at trace time."""
+    import jax
+    import jax.numpy as jnp
+
+    from hiddenpose_tpu.models.unet3d import (
+        _max_pool2_impl,
+        max_pool2_planes,
+    )
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, 3, 7, 8, 9).astype(np.float32))
+    ct = jnp.asarray(rng.rand(2, 3, 3, 4, 4).astype(np.float32))
+    y1, p1 = jax.vjp(max_pool2_planes, x)
+    y0, p0 = jax.vjp(_max_pool2_impl, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+    np.testing.assert_array_equal(
+        np.asarray(p1(ct)[0]), np.asarray(p0(ct)[0])
+    )
