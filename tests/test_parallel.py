@@ -276,3 +276,37 @@ def test_train_step_spatial_sharded_lct_matches():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=1e-3, atol=2.5 * lr
         )
+
+
+def test_lct_spatial_sharded_gradient_matches():
+    """`jax.grad` THROUGH the distributed-FFT LCT == gradient through the
+    plain LCT (round-3 VERDICT #8): the shard_map block disables the vma
+    checker (ops/lct.py::lct_apply_sharded), which is exactly where a
+    silent cotangent bug would hide — and training differentiates through
+    this path whenever `spatial_mesh` is set."""
+    from hiddenpose_tpu.ops.lct import (
+        lct_apply,
+        lct_apply_sharded,
+        make_lct_params,
+    )
+
+    size = 16
+    params = make_lct_params(image_size=size, time_size=size, bin_len=0.32)
+    rng = np.random.RandomState(1)
+    meas = jnp.asarray(rng.rand(4, size, size, size).astype(np.float32))
+    # Non-uniform weights make the cotangent structurally rich (a sum()
+    # alone would hide axis-transpose bugs that preserve totals).
+    wgt = jnp.asarray(rng.randn(4, size, size, size).astype(np.float32))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    g_sharded = np.asarray(
+        jax.jit(jax.grad(
+            lambda m: jnp.sum(lct_apply_sharded(m, params, mesh) * wgt)
+        ))(meas)
+    )
+    g_plain = np.asarray(
+        jax.grad(lambda m: jnp.sum(lct_apply(m, params) * wgt))(meas)
+    )
+    np.testing.assert_allclose(
+        g_sharded, g_plain, rtol=2e-4, atol=2e-5 * np.abs(g_plain).max()
+    )
