@@ -29,6 +29,10 @@ def parse_args():
                    help="evaluate on the synthetic generator")
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--variant", type=str, default="nlospose",
+                   choices=("nlospose", "sformer"),
+                   help="model family for test_realdata: the heatmap "
+                        "pipeline or NlosPoseSformer (BASELINE config[3])")
     return p.parse_args()
 
 
@@ -104,6 +108,27 @@ def main():
         print(f"{name}: joints span "
               f"{preds.min(0).round(1)}..{preds.max(0).round(1)}")
 
+    def run_single_sformer(meas_thw: np.ndarray, name: str):
+        """Measured capture through NlosPoseSformer (BASELINE config[3]):
+        the time-resolved measurement enters as f frames of (c, h, w)
+        (`models/NlosPoseSformer.py:95-151`); the 24 joint tokens decode
+        via per-axis SimDR soft-argmax (the reference leaves its output
+        head unwired — research code; decode documented in
+        ops/softargmax.simdr_decode)."""
+        import jax
+
+        from hiddenpose_tpu.models.sformer import sformer_from_config
+        from hiddenpose_tpu.ops.softargmax import simdr_decode
+
+        sf = sformer_from_config(cfg.model)
+        video = jnp.asarray(meas_thw[None, :, None].astype(np.float32))
+        variables = sf.init(jax.random.PRNGKey(cfg.train.seed), video)
+        out = jax.jit(sf.apply)(variables, video)
+        joints = np.asarray(simdr_decode(out[:, :, :3, :]))[0]
+        joints_log(joints, joints_dir, f"sformer_joints_{name}")
+        print(f"{name} (sformer): joints span "
+              f"{joints.min(0).round(1)}..{joints.max(0).round(1)}")
+
     if args.test == "test_realdata":
         files = (
             [args.data] if args.data.endswith(".mat")
@@ -112,7 +137,11 @@ def main():
         )
         for f in files:
             meas = load_realdata(f)
-            run_single(meas, os.path.splitext(os.path.basename(f))[0])
+            name = os.path.splitext(os.path.basename(f))[0]
+            if args.variant == "sformer":
+                run_single_sformer(meas, name)
+            else:
+                run_single(meas, name)
 
     elif args.test == "test_fk":
         files = [os.path.join(args.data, f) for f in sorted(os.listdir(args.data))
