@@ -45,9 +45,15 @@ class FastConv(nn.Module):
     kernel_size: int = 1
     stride: int = 1
     dtype: Dtype = jnp.float32
+    prefer_mm: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale=None, shift=None, relu: bool = False):
+        """Optional fused epilogue (``y*scale + shift`` per-C_out, then
+        ReLU): executed in-kernel on the Pallas MXU path, as a trailing
+        (XLA-fused) elementwise pass otherwise.  Callers pass the
+        inference BatchNorm affine here so the kernel boundary does not
+        cost an extra HBM round-trip of the conv output."""
         from hiddenpose_tpu.ops.conv3d_fast import (
             conv1x1x1_mm,
             conv3x3x3_d2d,
@@ -62,15 +68,50 @@ class FastConv(nn.Module):
         )
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
+
+        def epilogue(y):
+            if scale is not None:
+                y = y * scale.astype(y.dtype) + shift.astype(y.dtype)
+            if relu:
+                y = nn.relu(y)
+            return y
+
+        if k == 3 and self.stride == 1:
+            # MXU tap-pack kernel for the mid-channel Bottleneck conv2
+            # shapes (c64-c256) — XLA's 3D conv emitter runs them at
+            # 10-15 TF/s; the kernel measured 1.4-1.8x faster standalone
+            # and its custom VJP routes dx through the same kernel
+            # (`ops/pallas/conv3mxu.py`).
+            from hiddenpose_tpu.ops.pallas.conv3mxu import (
+                conv3_mxu,
+                conv3_mxu_diff,
+                conv3mxu_enabled,
+                conv3mxu_supported,
+            )
+
+            if conv3mxu_enabled() and conv3mxu_supported(
+                x.shape, x.shape[-1], self.features
+            ):
+                if scale is not None or relu:
+                    # Fused-epilogue form is inference-only (no VJP).
+                    return conv3_mxu(x, kernel, scale, shift, relu=relu)
+                return conv3_mxu_diff(x, kernel)
         modes = fast_modes()
-        if k == 1 and "mm" in modes:
-            return conv1x1x1_mm(x, kernel, self.stride)
+        if k == 1 and (self.prefer_mm or "mm" in modes):
+            # dot_general wants the DEFAULT layout, same as a Pallas
+            # custom call.  When the block's 3^3 conv runs in the MXU
+            # kernel, leaving the 1x1s as XLA convolutions makes layout
+            # assignment pick channel-major for them and insert a
+            # full-activation copy at EVERY kernel boundary (+14 copies /
+            # +15 ms on the b2 128^3 forward, tpu_jobs/109-110) — so the
+            # block owner sets prefer_mm whenever it routes its conv2.
+            return epilogue(conv1x1x1_mm(x, kernel, self.stride))
         if k == 3 and "d2d" in modes:
-            return conv3x3x3_d2d(x, kernel, self.stride)
-        return conv_acc32(
+            return epilogue(conv3x3x3_d2d(x, kernel, self.stride))
+        return epilogue(conv_acc32(
             x, kernel, (self.stride,) * 3, ((k // 2, k // 2),) * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        ).astype(self.dtype)
+        ).astype(self.dtype))
 
 
 class FastDeconv(nn.Module):
@@ -101,6 +142,58 @@ class FastDeconv(nn.Module):
         return deconv4_s2_diff(x, kernel)
 
 
+class BNAffine(nn.Module):
+    """Inference BatchNorm as a per-channel (scale, shift) pair, with a
+    param/batch_stats tree identical to ``nn.BatchNorm`` (params
+    ``scale``/``bias``; batch_stats ``mean``/``var``) so checkpoints and
+    the torch importer see the same structure.  Returns the affine instead
+    of applying it, letting the caller fuse the normalization into the
+    kernel that PRODUCES the activation (FastConv epilogue) instead of
+    paying an extra HBM round-trip after a Pallas call boundary."""
+
+    features: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("scale", nn.initializers.ones, (self.features,))
+        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        s = gamma * jax.lax.rsqrt(var.value + self.epsilon)
+        return s, beta - mean.value * s
+
+
+def _conv2_routed(shape, planes: int, stride: int) -> bool:
+    """Static routing: will this block's conv2 run in the Pallas MXU
+    kernel?  Decides both the bn2-affine fusion (inference) and whether
+    the sibling 1x1 convs should lower as dot_generals (prefer_mm) so no
+    channel-major XLA conv neighbours the kernel boundary."""
+    from hiddenpose_tpu.ops.pallas.conv3mxu import (
+        conv3mxu_enabled,
+        conv3mxu_supported,
+    )
+
+    return (
+        stride == 1
+        and conv3mxu_enabled()
+        and conv3mxu_supported((*shape[:-1], planes), planes, planes)
+    )
+
+
+def _conv2_fusible(shape, planes: int, train: bool, stride: int) -> bool:
+    """Fuse the bn2 affine into the conv2 kernel epilogue (inference only —
+    training BN needs batch statistics of the raw conv output, and the
+    Pallas fused form has no VJP)."""
+    return not train and _conv2_routed(shape, planes, stride)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -117,8 +210,10 @@ class Bottleneck(nn.Module):
         # reference's Conv3d(k3, s2, p1) samples -1,1,3,...
         # (`posenet3d_50.py:13-23`) — a one-voxel shift that breaks
         # checkpoint-import parity (tests/test_torch_import.py).
+        routed = _conv2_routed(x.shape, self.planes, self.stride)
         conv = lambda f, k, s, name: FastConv(
             f, kernel_size=k, stride=s, dtype=self.dtype, name=name,
+            prefer_mm=routed,
         )
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
@@ -126,7 +221,15 @@ class Bottleneck(nn.Module):
 
         residual = x
         out = nn.relu(bn("bn1")(conv(self.planes, 1, 1, "conv1")(x)))
-        out = nn.relu(bn("bn2")(conv(self.planes, 3, self.stride, "conv2")(out)))
+        if _conv2_fusible(x.shape, self.planes, train, self.stride):
+            s2, t2 = BNAffine(self.planes, name="bn2")()
+            out = conv(self.planes, 3, 1, "conv2")(
+                out, scale=s2, shift=t2, relu=True
+            )
+        else:
+            out = nn.relu(
+                bn("bn2")(conv(self.planes, 3, self.stride, "conv2")(out))
+            )
         out = bn("bn3")(conv(self.planes * self.expansion, 1, 1, "conv3")(out))
 
         if self.use_projection:
@@ -150,15 +253,23 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         train = self.train
         # torch-convention padding — see Bottleneck.
+        s = self.stride
+        shape2 = (x.shape[0], *(v // s for v in x.shape[1:4]), self.planes)
+        routed = _conv2_routed(shape2, self.planes, 1)
         conv = lambda f, k, s, name: FastConv(
             f, kernel_size=k, stride=s, dtype=self.dtype, name=name,
+            prefer_mm=routed,
         )
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
         )
         residual = x
         out = nn.relu(bn("bn1")(conv(self.planes, 3, self.stride, "conv1")(x)))
-        out = bn("bn2")(conv(self.planes, 3, 1, "conv2")(out))
+        if _conv2_fusible(out.shape, self.planes, train, 1):
+            s2, t2 = BNAffine(self.planes, name="bn2")()
+            out = conv(self.planes, 3, 1, "conv2")(out, scale=s2, shift=t2)
+        else:
+            out = bn("bn2")(conv(self.planes, 3, 1, "conv2")(out))
         if self.use_projection:
             residual = bn("bn_proj")(
                 conv(self.planes, 1, self.stride, "conv_proj")(x)

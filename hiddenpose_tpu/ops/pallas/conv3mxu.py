@@ -1,0 +1,427 @@
+"""Pallas TPU kernel: MXU 3x3x3 stride-1 convolution for mid-channel shapes.
+
+Targets the ResNet Bottleneck conv2 shapes of the pose backbone
+(`/root/reference/models/posenet3d_50.py:26-120`): c64 @64^3, c128 @32^3,
+c256 @16^3 (b2).  XLA's TPU 3D-conv emitter tops out at ~10-15 TF/s at these
+shapes in any layout/precision we measured (BENCH_NOTES round-3 profile;
+re-measured round 4: L1 fwd 8.5 ms = 13.7 TF/s) — and this chip's HBM
+bandwidth is low enough (~175-200 GB/s measured for both XLA pads and manual
+DMA) that any formulation materialising a padded/im2col copy of the
+activation is dead on arrival (a single host-side halo pad measured 3.4 ms
+at the L1 shape — half the kernel budget).
+
+Formulation ("tap-pack", v3):
+
+* Host prep is RESHAPE-ONLY (no pad, no relayout): channels-last x is viewed
+  as (B, D, H*Wr, K) where K is the 128-lane unit — the real C_in when
+  C_in >= 128, or the (w-pair, C_in) lane fold (Wr = W/2, K = 2*C_in = 128)
+  for C_in = 64, which both satisfies Mosaic's 128-lane DMA minimum (a
+  64-lane manual DMA crashes the remote compiler, probed round 4) and feeds
+  the MXU a full contraction.
+* The kernel DMAs whole (H*Wr, K) planes into a flat-row tile with an
+  8-row zero head and w-halo row blocks (zeroed every step, no host pad);
+  depth halos are conv3p-style first/interior/last DMA branches.
+* Per (output plane, kd) ONE matmul P = A @ B_kd with N = 9 slabs packed
+  along the columns: slab (kh, g) holds the taps that displace the flat row
+  index by kh*Wr + (g-1).  The conv falls out as 9 shifted-slice adds of P
+  per (plane, kd), with 2 precomputed boundary masks killing the w-wrap
+  garbage (rows that crossed an h boundary).  For the folded layout each
+  slab is a (128, 128) block mixing the w-parity phases; taps that fall
+  outside a phase's window are zero columns.
+
+Every input element is read from VMEM 3x (once per kd); the MXU does the
+im2col implicitly; nothing is ever materialised in HBM beyond x and y.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
+
+
+def _round8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def conv3mxu_supported(shape, cin: int, cout: int) -> bool:
+    """Static eligibility: shapes the kernel handles AND is profitable on.
+
+    C_in = 64 (lane-folded) or a multiple of 128; C_out a multiple of 64;
+    the packed weight operand (3, K, 9*sw) must fit VMEM alongside the
+    tiles, which excludes c512 (28 MB) — layer 4 stays on XLA."""
+    b, d, h, w, _ = shape
+    allow = os.environ.get("HP_CONV3MXU_CIN", "")
+    if allow and str(cin) not in allow.split(","):
+        return False
+    if cout % 64 or cout < 64:
+        return False
+    if cin == 64:
+        wr = w // 2
+        if w % 2 or wr % 8 or wr < 8:
+            return False
+        sw = 2 * cout
+    elif cin % 128 == 0:
+        wr = w
+        if w % 8:
+            return False
+        sw = cout
+    else:
+        return False
+    if h < 3 or d < 1:
+        return False
+    kbytes = 3 * max(cin, 128) * 9 * sw * 4
+    return kbytes <= 12 * 1024 * 1024
+
+
+def _build_bmat(k: jax.Array, folded: bool):
+    """Pack the kernel into the tap-slab matmul operand.
+
+    Unfolded: B[kd][ci, (kh*3+kw)*cout + co] = k[kd, kh, kw, ci, co]
+    (slab (kh, g=kw) has row-shift kh*Wr + kw - 1).
+
+    Folded (cin=64, lanes = (w_lsb, ci), slab cols = (p, co)): slab (kh, g)
+    contributes to output w-phase p at w-pair shift g-1; the tap hit is
+    x[2(v+g-1) + lsb] == x[2v+p + (kw-1)]  =>  kw = 2(g-1) + lsb - p + 1,
+    kept when 0 <= kw <= 2."""
+    if not folded:
+        cin, cout = k.shape[3], k.shape[4]
+        bm = k.astype(jnp.float32).reshape(3, 9, cin, cout)
+        return jnp.transpose(bm, (0, 2, 1, 3)).reshape(3, cin, 9 * cout)
+    cout = k.shape[4]
+    blocks = []
+    for kh in range(3):
+        for g in range(3):
+            cols = []
+            for p in range(2):
+                rows = []
+                for lsb in range(2):
+                    kw = 2 * (g - 1) + lsb - p + 1
+                    if 0 <= kw <= 2:
+                        rows.append(k[:, kh, kw].astype(jnp.float32))
+                    else:
+                        rows.append(
+                            jnp.zeros((3, 64, cout), jnp.float32)
+                        )
+                cols.append(jnp.concatenate(rows, axis=1))  # (3, 128, cout)
+            blocks.append(jnp.concatenate(cols, axis=2))  # (3, 128, 2*cout)
+    return jnp.concatenate(blocks, axis=2)  # (3, 128, 9*2*cout)
+
+
+def _conv3mxu_kernel(x_hbm, b_ref, sb_ref, o_ref, x_tile, sem, *, dt, nd, h,
+                     wr, rows_out, sw, lanes_out, split_kh, fuse_affine,
+                     fuse_relu):
+    bi = pl.program_id(0)
+    di = pl.program_id(1)
+
+    rows_tile = x_tile.shape[1]
+    kdim = x_tile.shape[2]
+    cd = x_tile.dtype
+
+    def _dst(p0, np_):
+        return x_tile.at[pl.ds(p0, np_), pl.ds(8 + wr, rows_out)]
+
+    # Depth-halo DMA (first / interior / last), static shapes per branch.
+    if nd == 1:
+        dma = pltpu.make_async_copy(x_hbm.at[bi], _dst(1, dt), sem)
+        dma.start()
+        x_tile[0] = jnp.zeros((rows_tile, kdim), cd)
+        x_tile[dt + 1] = jnp.zeros((rows_tile, kdim), cd)
+        dma.wait()
+    else:
+        d0 = di * dt
+
+        @pl.when(di == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(0, dt + 1)], _dst(1, dt + 1), sem
+            )
+            dma.start()
+            x_tile[0] = jnp.zeros((rows_tile, kdim), cd)
+            dma.wait()
+
+        @pl.when(jnp.logical_and(di > 0, di < nd - 1))
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(d0 - 1, dt + 2)], _dst(0, dt + 2), sem
+            )
+            dma.start()
+            dma.wait()
+
+        @pl.when(di == nd - 1)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(d0 - 1, dt + 1)], _dst(0, dt + 1), sem
+            )
+            dma.start()
+            x_tile[dt + 1] = jnp.zeros((rows_tile, kdim), cd)
+            dma.wait()
+
+    # Zero the head/tail/halo row blocks (cheap; avoids any cross-step or
+    # cross-branch scratch-state assumptions).
+    zhead = jnp.zeros((8 + wr, kdim), cd)
+    ztail = jnp.zeros((rows_tile - (8 + (h + 1) * wr), kdim), cd)
+    for p in range(dt + 2):
+        x_tile[p, 0:8 + wr] = zhead
+        x_tile[p, 8 + (h + 1) * wr:] = ztail
+
+    # Boundary masks: slab g=0 read row v-1 (garbage where v==0 wrapped
+    # from the previous h row); g=2 read v+1 (garbage where v==wr-1).
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (rows_out, sw), 0)
+    m0 = (ridx % wr) == 0
+    mw = (ridx % wr) == wr - 1
+
+    for dd in range(dt):
+        acc = None
+        for kd in range(3):
+            a = x_tile[dd + kd]  # (rows_tile, K)
+            for ks in range(3 if split_kh else 1):
+                if split_kh:
+                    p = jnp.dot(a, b_ref[kd, :, ks * 3 * sw:(ks + 1) * 3 * sw],
+                                preferred_element_type=jnp.float32)
+                else:
+                    p = jnp.dot(a, b_ref[kd],
+                                preferred_element_type=jnp.float32)
+                khs = (ks,) if split_kh else (0, 1, 2)
+                for i, kh in enumerate(khs):
+                    for g in range(3):
+                        off = 8 + kh * wr + g - 1
+                        sl = p[off:off + rows_out,
+                               (i * 3 + g) * sw:(i * 3 + g + 1) * sw]
+                        if g == 0:
+                            sl = jnp.where(m0, 0.0, sl)
+                        elif g == 2:
+                            sl = jnp.where(mw, 0.0, sl)
+                        acc = sl if acc is None else acc + sl
+        # Fused BN-affine + ReLU epilogue: without it every kernel-routed
+        # Bottleneck conv2 pays an extra read+write of its (large) output
+        # for the unfused scale/bias/relu pass — measured in-situ as the
+        # difference between the kernel LOSING 18 ms and winning.
+        if fuse_affine:
+            acc = acc * sb_ref[0, :] + sb_ref[1, :]
+        if fuse_relu:
+            acc = jnp.maximum(acc, 0.0)
+        o_ref[0, dd] = acc.astype(o_ref.dtype)
+
+
+def conv3_mxu(x: jax.Array, k: jax.Array,
+              scale: jax.Array | None = None,
+              shift: jax.Array | None = None,
+              relu: bool = False,
+              interpret: bool | None = None,
+              compute_dtype: str | None = None) -> jax.Array:
+    """3^3 stride-1 SAME (torch p=1) conv, NDHWC x (3,3,3,C_in,C_out).
+
+    Optional fused epilogue: ``y*scale + shift`` (per-C_out, the inference
+    BatchNorm affine) then ReLU, applied in-register before the VMEM→HBM
+    store — the conv's consumer ops would otherwise re-stream the output.
+
+    Compute precision defaults to bf16 with f32 accumulation — the SAME
+    arithmetic XLA's own TPU conv emitter uses for f32 operands under
+    JAX's default precision (the base path this kernel replaces convolves
+    bf16-converted operands; verified in the compiled HLO, tpu_jobs/110).
+    bf16 halves the DMA traffic and runs one MXU pass per tap-slab matmul
+    instead of the multi-pass f32 decomposition. Override per-call with
+    ``compute_dtype='f32'`` or process-wide with HP_CONV3MXU_DT=f32
+    (resolved at call time, passed to jit as a static arg)."""
+    if compute_dtype is None:
+        compute_dtype = os.environ.get("HP_CONV3MXU_DT", "bf16")
+    return _conv3_mxu_jit(x, k, scale, shift, relu=relu,
+                          interpret=interpret, cdt=compute_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "interpret", "cdt"))
+def _conv3_mxu_jit(x: jax.Array, k: jax.Array,
+                   scale: jax.Array | None = None,
+                   shift: jax.Array | None = None,
+                   relu: bool = False,
+                   interpret: bool | None = None,
+                   cdt: str = "bf16") -> jax.Array:
+    b, d, h, w, cin = x.shape
+    cout = k.shape[-1]
+    assert k.shape[:3] == (3, 3, 3) and k.shape[3] == cin
+    assert conv3mxu_supported(x.shape, cin, cout), (x.shape, cin, cout)
+    cd = jnp.float32 if cdt in ("f32", "float32") else jnp.bfloat16
+    isz = jnp.dtype(cd).itemsize
+
+    folded = cin == 64
+    wr = w // 2 if folded else w
+    kdim = 128 if folded else cin
+    sw = 2 * cout if folded else cout
+    lanes_out = 2 * cout if folded else cout
+    rows_out = h * wr
+    rows_tile = 16 + (h + 2) * wr
+
+    xr = x.astype(cd).reshape(b, d, rows_out, kdim)
+    bmat = _build_bmat(k, folded).astype(cd)  # (3, kdim, 9*sw)
+
+    fuse_affine = scale is not None
+    if fuse_affine:
+        s = scale.astype(jnp.float32)
+        t = shift.astype(jnp.float32)
+        if folded:
+            # Folded output lanes are (w-phase, C_out) p-major.
+            s = jnp.concatenate([s, s])
+            t = jnp.concatenate([t, t])
+        sb = jnp.stack([s, t])
+    else:
+        sb = jnp.zeros((2, lanes_out), jnp.float32)
+
+    # Tile depth: VMEM budget for x_tile (dt+2 planes) and the out block.
+    env = os.environ.get("HP_CONV3MXU_TILE", "")
+    if env:
+        dt = int(env)
+    else:
+        dt = 1
+        for c in (8, 4, 2):
+            if d % c:
+                continue
+            if (c + 2) * rows_tile * kdim * isz > 6 * 1024 * 1024:
+                continue
+            if c * rows_out * lanes_out * 4 > 3 * 1024 * 1024:
+                continue
+            dt = c
+            break
+    nd = d // dt
+    # One P buffer ((rows_tile, 9*sw) f32) per matmul: split the kh groups
+    # into 3 matmuls when the full-width P would blow the budget.
+    split_kh = rows_tile * 9 * sw * 4 > 6 * 1024 * 1024
+
+    if interpret is None:
+        interpret = not on_tpu_default_device()
+
+    kernel = functools.partial(
+        _conv3mxu_kernel, dt=dt, nd=nd, h=h, wr=wr, rows_out=rows_out,
+        sw=sw, lanes_out=lanes_out, split_kh=split_kh,
+        fuse_affine=fuse_affine, fuse_relu=relu,
+    )
+    flops = 2 * b * d * h * w * 27 * cin * cout
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nd),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # xr: manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bmat (3, K, 9*sw)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sb (2, lanes_out)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, dt, rows_out, lanes_out),
+            lambda bi, di: (bi, di, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, d, rows_out, lanes_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((dt + 2, rows_tile, kdim), cd),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * isz + b * d * h * w * cout * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xr, bmat, sb)
+    return out.reshape(b, d, h, w, cout)
+
+
+def conv3_dk_mm(x: jax.Array, dy: jax.Array) -> jax.Array:
+    """Weight gradient of the 3^3 s1 SAME conv as 27 tap matmuls.
+
+    Measured MEMORY-bound on this chip (each tap re-streams x and dy:
+    13.3 ms at L1 vs XLA's 5.3 ms correlation emitter) — kept as an A/B
+    switch (HP_CONV3MXU_DK=mm); the default backward uses XLA's native
+    wgrad, which is also what the profile shows to be cheap in-situ
+    (~3.3 ms for all of layer 1, tpu_jobs/028)."""
+    from hiddenpose_tpu.ops.conv_acc import bwd_cast_dtype
+
+    b, d, h, w, ci = x.shape
+    co = dy.shape[-1]
+    n = b * d * h * w
+    cd = bwd_cast_dtype(x.dtype)
+
+    xpad = jnp.pad(
+        x.astype(cd), ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))
+    )
+    dyf = dy.astype(cd).reshape(n, co)
+    taps = []
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                slab = jax.lax.dynamic_slice(
+                    xpad, (0, kd, kh, kw, 0), (b, d, h, w, ci)
+                ).reshape(n, ci)
+                t = jax.lax.dot_general(
+                    slab, dyf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                taps.append(jax.lax.optimization_barrier(t))
+    return jnp.stack(taps, 0).reshape(3, 3, 3, ci, co)
+
+
+def _conv3_dk_native(x: jax.Array, k_like: jax.Array,
+                     dy: jax.Array) -> jax.Array:
+    """dk via XLA's native conv weight-gradient lowering."""
+
+    def f(kk):
+        return jax.lax.conv_general_dilated(
+            x, kk, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    _, vjp = jax.vjp(f, jnp.zeros_like(k_like))
+    (dk,) = vjp(dy.astype(jnp.float32))
+    return dk
+
+
+@jax.custom_vjp
+def conv3_mxu_diff(x: jax.Array, k: jax.Array) -> jax.Array:
+    """Differentiable tap-pack conv: Pallas forward; dx through the same
+    kernel on the spatially-flipped, in/out-swapped kernel (the exact
+    adjoint of a stride-1 SAME conv); dk through XLA's native wgrad."""
+    return conv3_mxu(x, k)
+
+
+def _conv3_fwd(x, k):
+    return conv3_mxu(x, k), (x, k)
+
+
+def _conv3_bwd(res, dy):
+    x, k = res
+    kadj = jnp.flip(k, (0, 1, 2)).swapaxes(3, 4)
+    if conv3mxu_supported(dy.shape, k.shape[4], k.shape[3]):
+        dx = conv3_mxu(dy.astype(x.dtype), kadj.astype(x.dtype))
+    else:  # e.g. a rectangular conv whose transpose isn't kernel-eligible
+        dx = jax.lax.conv_general_dilated(
+            dy.astype(x.dtype), kadj.astype(x.dtype), (1, 1, 1),
+            [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )
+    if os.environ.get("HP_CONV3MXU_DK", "") == "mm":
+        dk = conv3_dk_mm(x, dy)
+    else:
+        dk = _conv3_dk_native(x, k, dy)
+    return dx.astype(x.dtype), dk.astype(k.dtype)
+
+
+conv3_mxu_diff.defvjp(_conv3_fwd, _conv3_bwd)
+
+
+def conv3mxu_enabled() -> bool:
+    """Routing gate for FastConv (trace time): on-TPU, not disabled via
+    HP_NO_PALLAS / HP_CONV3MXU=0."""
+    import os
+
+    from hiddenpose_tpu.ops.pallas.conv3p import pallas_enabled
+
+    return os.environ.get("HP_CONV3MXU", "1") != "0" and pallas_enabled()

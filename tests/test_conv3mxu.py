@@ -1,0 +1,154 @@
+"""Equivalence tests for the MXU tap-pack 3^3 convolution kernel
+(`ops/pallas/conv3mxu.py`) against the XLA conv, fwd + custom VJP.
+
+CPU CI runs the kernel in interpreter mode (exact f32); the on-chip
+validation job re-runs the same comparisons on the TPU
+(scripts history / tpu_jobs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hiddenpose_tpu.ops.pallas.conv3mxu import (
+    conv3_dk_mm,
+    conv3_mxu,
+    conv3_mxu_diff,
+    conv3mxu_supported,
+)
+
+SHAPES = [
+    # (b, d, h, w, cin, cout) — scaled-down analogues of L1/L2/L3.
+    (1, 4, 8, 16, 64, 64),
+    (2, 2, 4, 8, 128, 64),
+    (1, 2, 8, 32, 64, 128),
+    (1, 3, 4, 16, 256, 64),
+]
+
+
+def _xla_conv(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(x.dtype)
+
+
+def _rand(shape, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_forward_matches_xla(shape):
+    b, d, h, w, cin, cout = shape
+    x = _rand((b, d, h, w, cin))
+    k = _rand((3, 3, 3, cin, cout), 1) * 0.1
+    got = conv3_mxu(x, k, interpret=True, compute_dtype="f32")
+    want = _xla_conv(x, k)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", SHAPES[:2])
+def test_forward_bf16_default_tolerance(shape):
+    """The DEFAULT compute path (bf16 operands, f32 accumulation — what
+    runs on the chip AND what XLA's own conv emitter does for f32 inputs
+    under default precision) stays within bf16 rounding of the exact
+    result.  Keeps the reduced-precision path visible to CPU CI."""
+    b, d, h, w, cin, cout = shape
+    x = _rand((b, d, h, w, cin))
+    k = _rand((3, 3, 3, cin, cout), 1) * 0.1
+    got = conv3_mxu(x, k, interpret=True)  # env default: bf16
+    want = _xla_conv(x, k)
+    # bf16 has ~8 mantissa bits; the contraction accumulates in f32, so
+    # error scales with the OUTPUT magnitude, not per-element (elements
+    # near zero by cancellation see large relative error — bound the
+    # error relative to the output scale).
+    err = jnp.abs(got - want).max() / (jnp.abs(want).max() + 1e-8)
+    assert err < 5e-3, err
+
+
+def test_supported_gate():
+    assert conv3mxu_supported((2, 64, 64, 64, 64), 64, 64)
+    assert conv3mxu_supported((2, 32, 32, 32, 128), 128, 128)
+    assert conv3mxu_supported((2, 16, 16, 16, 256), 256, 256)
+    # c512: packed weights exceed VMEM — XLA keeps layer 4.
+    assert not conv3mxu_supported((2, 8, 8, 8, 512), 512, 512)
+    assert not conv3mxu_supported((2, 16, 16, 16, 32), 32, 64)
+    assert not conv3mxu_supported((2, 16, 16, 12, 64), 64, 64)
+
+
+def test_dk_matches_autodiff():
+    b, d, h, w, cin, cout = 1, 2, 4, 8, 64, 64
+    x = _rand((b, d, h, w, cin))
+    k = _rand((3, 3, 3, cin, cout), 1) * 0.1
+    dy = _rand((b, d, h, w, cout), 2)
+    want = jax.grad(lambda k: (_xla_conv(x, k) * dy).sum())(k)
+    got = conv3_dk_mm(x, dy)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", SHAPES[:2])
+def test_fused_epilogue_matches(shape):
+    """In-kernel BN-affine + ReLU epilogue == conv -> affine -> relu."""
+    b, d, h, w, cin, cout = shape
+    x = _rand((b, d, h, w, cin))
+    k = _rand((3, 3, 3, cin, cout), 1) * 0.1
+    scale = _rand((cout,), 3) * 0.5 + 1.0
+    shift = _rand((cout,), 4) * 0.2
+    got = conv3_mxu(x, k, scale, shift, relu=True, interpret=True,
+                    compute_dtype="f32")
+    want = jax.nn.relu(_xla_conv(x, k) * scale + shift)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_bottleneck_fused_infer_matches_plain(monkeypatch):
+    """The fused conv2+bn2+relu inference path == the plain flax path,
+    with an IDENTICAL param/batch_stats tree (checkpoint compat)."""
+    import hiddenpose_tpu.ops.pallas.conv3mxu as m
+    from hiddenpose_tpu.models.posenet3d import Bottleneck
+
+    monkeypatch.setenv("HP_CONV3MXU_DT", "f32")
+
+    x = _rand((1, 4, 8, 16, 256))
+    model = Bottleneck(planes=64, train=False)
+
+    plain_vars = model.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setattr(m, "conv3mxu_enabled", lambda: True)
+    fused_vars = model.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(fused_vars) == (
+        jax.tree_util.tree_structure(plain_vars)
+    )
+    # Non-trivial running stats so the affine actually does something.
+    stats = dict(plain_vars["batch_stats"])
+    stats["bn2"] = {
+        "mean": _rand((64,), 5) * 0.1,
+        "var": jnp.abs(_rand((64,), 6)) + 0.5,
+    }
+    params = dict(plain_vars["params"])
+    varz = {"params": params, "batch_stats": stats}
+    y_fused = model.apply(varz, x)
+    monkeypatch.setattr(m, "conv3mxu_enabled", lambda: False)
+    y_want = model.apply(varz, x)
+    np.testing.assert_allclose(y_fused, y_want, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", SHAPES[:2])
+def test_vjp_matches_autodiff(shape, monkeypatch):
+    monkeypatch.setenv("HP_CONV3MXU_DT", "f32")
+    b, d, h, w, cin, cout = shape
+    x = _rand((b, d, h, w, cin))
+    k = _rand((3, 3, 3, cin, cout), 1) * 0.1
+    dy = _rand((b, d, h, w, cout), 2)
+
+    def loss_ref(x, k):
+        return (_xla_conv(x, k) * dy).sum()
+
+    def loss_kern(x, k):
+        return (conv3_mxu_diff(x, k) * dy).sum()
+
+    want_dx, want_dk = jax.grad(loss_ref, (0, 1))(x, k)
+    got_dx, got_dk = jax.grad(loss_kern, (0, 1))(x, k)
+    np.testing.assert_allclose(got_dx, want_dx, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(got_dk, want_dk, rtol=2e-5, atol=2e-4)
