@@ -114,62 +114,126 @@ def _build_bmat(k: jax.Array, folded: bool):
     return jnp.concatenate(blocks, axis=2)  # (3, 128, 9*2*cout)
 
 
-def _conv3mxu_kernel(x_hbm, b_ref, sb_ref, o_ref, x_tile, sem, *, dt, nd, h,
+def _conv3mxu_kernel(x_hbm, b_ref, sb_ref, o_ref, x_tile, sems, *, dt, nd, h,
                      wr, rows_out, sw, lanes_out, split_kh, fuse_affine,
                      fuse_relu):
+    """Two-slot double-buffered: the NEXT grid step's planes DMA while the
+    current step computes.  Slots fold into the plane axis of one 3D
+    scratch ((2*(dt+2), rows, K), conv3p's layout trick) so all slot
+    addressing is a plain dynamic ``pl.ds``; scratch and DMA semaphores
+    persist across sequential grid steps on TPU."""
     bi = pl.program_id(0)
     di = pl.program_id(1)
+    g = bi * nd + di
+    total = pl.num_programs(0) * nd
+    tp2 = dt + 2
 
     rows_tile = x_tile.shape[1]
     kdim = x_tile.shape[2]
     cd = x_tile.dtype
+    zplane = jnp.zeros((1, rows_tile, kdim), cd)
 
-    def _dst(p0, np_):
-        return x_tile.at[pl.ds(p0, np_), pl.ds(8 + wr, rows_out)]
+    def start_dma(gg, sl):
+        """Issue the depth-halo DMA (first/interior/last branches) for
+        flattened grid step ``gg`` into slot ``sl``, zeroing the halo
+        plane(s) the DMA does not write.  All stores target regions the
+        in-flight copy never touches."""
+        bb = gg // nd
+        ii = gg - bb * nd
+        soff = sl * tp2
 
-    # Depth-halo DMA (first / interior / last), static shapes per branch.
-    if nd == 1:
-        dma = pltpu.make_async_copy(x_hbm.at[bi], _dst(1, dt), sem)
-        dma.start()
-        x_tile[0] = jnp.zeros((rows_tile, kdim), cd)
-        x_tile[dt + 1] = jnp.zeros((rows_tile, kdim), cd)
-        dma.wait()
-    else:
-        d0 = di * dt
+        def _dst(p0, np_):
+            return x_tile.at[pl.ds(soff + p0, np_), pl.ds(8 + wr, rows_out)]
 
-        @pl.when(di == 0)
-        def _():
-            dma = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(0, dt + 1)], _dst(1, dt + 1), sem
-            )
-            dma.start()
-            x_tile[0] = jnp.zeros((rows_tile, kdim), cd)
-            dma.wait()
+        if nd == 1:
+            pltpu.make_async_copy(
+                x_hbm.at[bb], _dst(1, dt), sems.at[sl]
+            ).start()
+            x_tile[pl.ds(soff, 1)] = zplane
+            x_tile[pl.ds(soff + dt + 1, 1)] = zplane
+        else:
+            @pl.when(ii == 0)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(0, dt + 1)], _dst(1, dt + 1),
+                    sems.at[sl],
+                ).start()
+                x_tile[pl.ds(soff, 1)] = zplane
 
-        @pl.when(jnp.logical_and(di > 0, di < nd - 1))
-        def _():
-            dma = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(d0 - 1, dt + 2)], _dst(0, dt + 2), sem
-            )
-            dma.start()
-            dma.wait()
+            @pl.when(jnp.logical_and(ii > 0, ii < nd - 1))
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(ii * dt - 1, dt + 2)], _dst(0, dt + 2),
+                    sems.at[sl],
+                ).start()
 
-        @pl.when(di == nd - 1)
-        def _():
-            dma = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(d0 - 1, dt + 1)], _dst(0, dt + 1), sem
-            )
-            dma.start()
-            x_tile[dt + 1] = jnp.zeros((rows_tile, kdim), cd)
-            dma.wait()
+            @pl.when(ii == nd - 1)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(ii * dt - 1, dt + 1)], _dst(0, dt + 1),
+                    sems.at[sl],
+                ).start()
+                x_tile[pl.ds(soff + dt + 1, 1)] = zplane
 
-    # Zero the head/tail/halo row blocks (cheap; avoids any cross-step or
-    # cross-branch scratch-state assumptions).
-    zhead = jnp.zeros((8 + wr, kdim), cd)
-    ztail = jnp.zeros((rows_tile - (8 + (h + 1) * wr), kdim), cd)
-    for p in range(dt + 2):
-        x_tile[p, 0:8 + wr] = zhead
-        x_tile[p, 8 + (h + 1) * wr:] = ztail
+    def wait_dma(gg, sl):
+        bb = gg // nd
+        ii = gg - bb * nd
+        soff = sl * tp2
+
+        def _dst(p0, np_):
+            return x_tile.at[pl.ds(soff + p0, np_), pl.ds(8 + wr, rows_out)]
+
+        if nd == 1:
+            pltpu.make_async_copy(
+                x_hbm.at[bb], _dst(1, dt), sems.at[sl]
+            ).wait()
+        else:
+            @pl.when(ii == 0)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(0, dt + 1)], _dst(1, dt + 1),
+                    sems.at[sl],
+                ).wait()
+
+            @pl.when(jnp.logical_and(ii > 0, ii < nd - 1))
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(ii * dt - 1, dt + 2)], _dst(0, dt + 2),
+                    sems.at[sl],
+                ).wait()
+
+            @pl.when(ii == nd - 1)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(ii * dt - 1, dt + 1)], _dst(0, dt + 1),
+                    sems.at[sl],
+                ).wait()
+
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    # The head/tail halo row blocks (w-shift scratch area around the real
+    # rows) are DISJOINT from every DMA destination, so they only need
+    # zeroing once per slot — the first two grid steps cover both slots.
+    @pl.when(g < 2)
+    def _():
+        soff = slot * tp2
+        zhead = jnp.zeros((8 + wr, kdim), cd)
+        ztail = jnp.zeros((rows_tile - (8 + (h + 1) * wr), kdim), cd)
+        for p in range(tp2):
+            x_tile[pl.ds(soff + p, 1), 0:8 + wr] = zhead[None]
+            x_tile[pl.ds(soff + p, 1), 8 + (h + 1) * wr:] = ztail[None]
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(g, slot)
+
+    @pl.when(g + 1 < total)
+    def _():
+        start_dma(g + 1, nslot)
+
+    wait_dma(g, slot)
+    soff = slot * tp2
 
     # Boundary masks: slab g=0 read row v-1 (garbage where v==0 wrapped
     # from the previous h row); g=2 read v+1 (garbage where v==wr-1).
@@ -180,14 +244,21 @@ def _conv3mxu_kernel(x_hbm, b_ref, sb_ref, o_ref, x_tile, sem, *, dt, nd, h,
     for dd in range(dt):
         acc = None
         for kd in range(3):
-            a = x_tile[dd + kd]  # (rows_tile, K)
+            a = x_tile[pl.ds(soff + dd + kd, 1)][0]  # (rows_tile, K)
             for ks in range(3 if split_kh else 1):
+                # NB: without an explicit precision, an f32 jnp.dot still
+                # runs ONE bf16 MXU pass (default precision) — HIGHEST is
+                # what makes cdt=f32 actually compute in f32 (3-pass).
+                prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
+                        else jax.lax.Precision.DEFAULT)
                 if split_kh:
                     p = jnp.dot(a, b_ref[kd, :, ks * 3 * sw:(ks + 1) * 3 * sw],
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
                 else:
                     p = jnp.dot(a, b_ref[kd],
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
                 khs = (ks,) if split_kh else (0, 1, 2)
                 for i, kh in enumerate(khs):
                     for g in range(3):
@@ -279,10 +350,10 @@ def _conv3_mxu_jit(x: jax.Array, k: jax.Array,
         dt = int(env)
     else:
         dt = 1
-        for c in (8, 4, 2):
+        for c in (16, 8, 4, 2):
             if d % c:
                 continue
-            if (c + 2) * rows_tile * kdim * isz > 6 * 1024 * 1024:
+            if 2 * (c + 2) * rows_tile * kdim * isz > 10 * 1024 * 1024:
                 continue
             if c * rows_out * lanes_out * 4 > 3 * 1024 * 1024:
                 continue
@@ -317,8 +388,8 @@ def _conv3_mxu_jit(x: jax.Array, k: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((b, d, rows_out, lanes_out), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((dt + 2, rows_tile, kdim), cd),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2 * (dt + 2), rows_tile, kdim), cd),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -369,18 +440,21 @@ def conv3_dk_mm(x: jax.Array, dy: jax.Array) -> jax.Array:
 
 def _conv3_dk_native(x: jax.Array, k_like: jax.Array,
                      dy: jax.Array) -> jax.Array:
-    """dk via XLA's native conv weight-gradient lowering."""
-
-    def f(kk):
-        return jax.lax.conv_general_dilated(
-            x, kk, (1, 1, 1), [(1, 1)] * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        )
-
-    _, vjp = jax.vjp(f, jnp.zeros_like(k_like))
-    (dk,) = vjp(dy.astype(jnp.float32))
-    return dk
+    """dk as ONE conv with batch<->feature swapped dimension numbers (the
+    standard wgrad-as-conv form, which XLA lowers to its native weight-
+    gradient emitter): lhs x with C_in as the conv batch and B as the
+    contracted feature, rhs dy as a D*H*W-sized kernel with B as input
+    feature — output spatial extent is exactly 3^3.  Works for f32 AND
+    bf16 operands (the vjp formulation trips lax's transpose-rule dtype
+    check when the forward accumulates f32 from bf16 operands); always
+    accumulates and returns f32."""
+    dk = jax.lax.conv_general_dilated(
+        x, dy.astype(x.dtype), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("CDHWN", "IDHWO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    # (C_in, kd, kh, kw, C_out) -> (kd, kh, kw, C_in, C_out)
+    return jnp.transpose(dk, (1, 2, 3, 0, 4))
 
 
 @jax.custom_vjp

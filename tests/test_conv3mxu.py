@@ -134,6 +134,30 @@ def test_bottleneck_fused_infer_matches_plain(monkeypatch):
     np.testing.assert_allclose(y_fused, y_want, rtol=2e-5, atol=2e-4)
 
 
+def test_vjp_bf16_model_dtype():
+    """The custom VJP works with bf16 activations/weights (the bf16 model
+    preset routes through it) and stays within bf16 rounding of the f32
+    reference gradient."""
+    b, d, h, w, cin, cout = 1, 4, 8, 16, 64, 64
+    x = _rand((b, d, h, w, cin))
+    k = _rand((3, 3, 3, cin, cout), 1) * 0.1
+    dy = _rand((b, d, h, w, cout), 2)
+
+    def loss_kern(x, k):
+        y = conv3_mxu_diff(x.astype(jnp.bfloat16), k.astype(jnp.bfloat16))
+        return (y.astype(jnp.float32) * dy).sum()
+
+    def loss_ref(x, k):
+        return (_xla_conv(x, k) * dy).sum()
+
+    got_dx, got_dk = jax.grad(loss_kern, (0, 1))(x, k)
+    want_dx, want_dk = jax.grad(loss_ref, (0, 1))(x, k)
+    assert got_dx.dtype == x.dtype and got_dk.dtype == k.dtype
+    for g, wv in ((got_dx, want_dx), (got_dk, want_dk)):
+        err = jnp.abs(g - wv).max() / (jnp.abs(wv).max() + 1e-8)
+        assert err < 2e-2, err
+
+
 @pytest.mark.parametrize("shape", SHAPES[:2])
 def test_vjp_matches_autodiff(shape, monkeypatch):
     monkeypatch.setenv("HP_CONV3MXU_DT", "f32")
