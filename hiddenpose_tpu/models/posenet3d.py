@@ -84,18 +84,27 @@ class FastConv(nn.Module):
             # (`ops/pallas/conv3mxu.py`).
             from hiddenpose_tpu.ops.pallas.conv3mxu import (
                 conv3_mxu,
+                conv3_mxu_bwd_diff,
                 conv3_mxu_diff,
-                conv3mxu_enabled,
+                conv3mxu_route,
                 conv3mxu_supported,
             )
 
-            if conv3mxu_enabled() and conv3mxu_supported(
+            route = conv3mxu_route()
+            if route and conv3mxu_supported(
                 x.shape, x.shape[-1], self.features
             ):
-                if scale is not None or relu:
-                    # Fused-epilogue form is inference-only (no VJP).
-                    return conv3_mxu(x, kernel, scale, shift, relu=relu)
-                return conv3_mxu_diff(x, kernel)
+                if route == "full":
+                    if scale is not None or relu:
+                        # Fused-epilogue form is inference-only (no VJP).
+                        return conv3_mxu(x, kernel, scale, shift, relu=relu)
+                    return conv3_mxu_diff(x, kernel)
+                if scale is None and not relu:
+                    # 'bwd': native forward, Pallas dx (the composed-model
+                    # optimum — tpu_jobs/116-118).  A fused-epilogue
+                    # request falls through to the base path + XLA-fused
+                    # epilogue, which is the same program.
+                    return conv3_mxu_bwd_diff(x, kernel)
         modes = fast_modes()
         if k == 1 and (self.prefer_mm or "mm" in modes):
             # dot_general wants the DEFAULT layout, same as a Pallas
@@ -170,28 +179,36 @@ class BNAffine(nn.Module):
         return s, beta - mean.value * s
 
 
-def _conv2_routed(shape, planes: int, stride: int) -> bool:
-    """Static routing: will this block's conv2 run in the Pallas MXU
-    kernel?  Decides both the bn2-affine fusion (inference) and whether
-    the sibling 1x1 convs should lower as dot_generals (prefer_mm) so no
-    channel-major XLA conv neighbours the kernel boundary."""
+def _conv2_route(shape, planes: int, stride: int) -> str:
+    """Static routing for this block's conv2: '' | 'bwd' | 'full'."""
     from hiddenpose_tpu.ops.pallas.conv3mxu import (
-        conv3mxu_enabled,
+        conv3mxu_route,
         conv3mxu_supported,
     )
 
-    return (
-        stride == 1
-        and conv3mxu_enabled()
-        and conv3mxu_supported((*shape[:-1], planes), planes, planes)
-    )
+    if stride != 1 or not conv3mxu_supported(
+        (*shape[:-1], planes), planes, planes
+    ):
+        return ""
+    return conv3mxu_route()
+
+
+def _conv2_routed(shape, planes: int, stride: int) -> bool:
+    """Should the sibling 1x1 convs lower as dot_generals (prefer_mm)?
+    Only when the Pallas kernel runs in the FORWARD program ('full'):
+    there, a channel-major XLA conv neighbouring the custom-call boundary
+    costs a full-activation copy per boundary (+14 copies / +15 ms,
+    tpu_jobs/109-110).  Under 'bwd' routing the forward program is all-XLA
+    (mm 1x1s would only hurt it — tpu_diag_conv2) and the grad program
+    keeps XLA's fused conv backward around the dx custom calls."""
+    return _conv2_route(shape, planes, stride) == "full"
 
 
 def _conv2_fusible(shape, planes: int, train: bool, stride: int) -> bool:
     """Fuse the bn2 affine into the conv2 kernel epilogue (inference only —
     training BN needs batch statistics of the raw conv output, and the
     Pallas fused form has no VJP)."""
-    return not train and _conv2_routed(shape, planes, stride)
+    return not train and _conv2_route(shape, planes, stride) == "full"
 
 
 class Bottleneck(nn.Module):

@@ -465,6 +465,39 @@ def conv3_mxu_diff(x: jax.Array, k: jax.Array) -> jax.Array:
     return conv3_mxu(x, k)
 
 
+def _conv3_native(x: jax.Array, k: jax.Array) -> jax.Array:
+    """The base-path forward (torch p=1 SAME, f32 accumulation) — exactly
+    what FastConv lowers to when the kernel is not routed, so switching
+    routes never changes forward numerics."""
+    from hiddenpose_tpu.ops.conv_acc import conv_acc32
+
+    return conv_acc32(
+        x, k, (1, 1, 1), ((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ).astype(x.dtype)
+
+
+@jax.custom_vjp
+def conv3_mxu_bwd_diff(x: jax.Array, k: jax.Array) -> jax.Array:
+    """Backward-only routing: native XLA forward, MXU tap-pack dx.
+
+    The stacked-layer ablation (tpu_jobs/116-118) showed the Pallas
+    forward WINS in isolation (L1 8.5→5.9 ms, L2 3.4→2.2) but LOSES
+    composed — +1.4/+5.9/+7.9 ms cumulative regression as backbone stages
+    route, i.e. per-boundary layout/fusion cost XLA only pays when the
+    custom call sits between its own convs.  The model GRAD meanwhile wins
+    routed (267.6→223.4 ms f32), and the grad program's win survives even
+    though it embeds the slower routed forward — so the optimal routing is
+    asymmetric: keep XLA's conv emitter in the forward program (and the
+    primal of the grad program) and take the Pallas kernel only for dx,
+    where XLA's 3D conv-backward emitter is at its ~10-15 TF/s worst."""
+    return _conv3_native(x, k)
+
+
+def _conv3b_fwd(x, k):
+    return _conv3_native(x, k), (x, k)
+
+
 def _conv3_fwd(x, k):
     return conv3_mxu(x, k), (x, k)
 
@@ -489,6 +522,7 @@ def _conv3_bwd(res, dy):
 
 
 conv3_mxu_diff.defvjp(_conv3_fwd, _conv3_bwd)
+conv3_mxu_bwd_diff.defvjp(_conv3b_fwd, _conv3_bwd)
 
 
 def conv3mxu_enabled() -> bool:
@@ -499,3 +533,15 @@ def conv3mxu_enabled() -> bool:
     from hiddenpose_tpu.ops.pallas.conv3p import pallas_enabled
 
     return os.environ.get("HP_CONV3MXU", "1") != "0" and pallas_enabled()
+
+
+def conv3mxu_route() -> str:
+    """Trace-time routing policy for the eligible 3^3 convs.
+
+    '' (kernel off) | 'bwd' (default: native forward, Pallas dx — the
+    measured optimum in the composed model, see conv3_mxu_bwd_diff) |
+    'full' (Pallas forward + fused BN/ReLU epilogue too — wins on isolated
+    blocks; HP_CONV3MXU_ROUTE=full to A/B)."""
+    if not conv3mxu_enabled():
+        return ""
+    return os.environ.get("HP_CONV3MXU_ROUTE", "bwd")

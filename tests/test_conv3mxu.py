@@ -109,6 +109,7 @@ def test_bottleneck_fused_infer_matches_plain(monkeypatch):
     from hiddenpose_tpu.models.posenet3d import Bottleneck
 
     monkeypatch.setenv("HP_CONV3MXU_DT", "f32")
+    monkeypatch.setenv("HP_CONV3MXU_ROUTE", "full")
 
     x = _rand((1, 4, 8, 16, 256))
     model = Bottleneck(planes=64, train=False)
@@ -171,6 +172,40 @@ def test_vjp_matches_autodiff(shape, monkeypatch):
 
     def loss_kern(x, k):
         return (conv3_mxu_diff(x, k) * dy).sum()
+
+    want_dx, want_dk = jax.grad(loss_ref, (0, 1))(x, k)
+    got_dx, got_dk = jax.grad(loss_kern, (0, 1))(x, k)
+    np.testing.assert_allclose(got_dx, want_dx, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(got_dk, want_dk, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", SHAPES[:2])
+def test_bwd_route_matches_autodiff(shape, monkeypatch):
+    """'bwd' routing: the primal is bit-exactly the native conv, and the
+    Pallas-dx backward matches full autodiff."""
+    from hiddenpose_tpu.ops.pallas.conv3mxu import conv3_mxu_bwd_diff
+
+    monkeypatch.setenv("HP_CONV3MXU_DT", "f32")
+    b, d, h, w, cin, cout = shape
+    x = _rand((b, d, h, w, cin))
+    k = _rand((3, 3, 3, cin, cout), 1) * 0.1
+    dy = _rand((b, d, h, w, cout), 2)
+
+    y = conv3_mxu_bwd_diff(x, k)
+    np.testing.assert_array_equal(
+        np.asarray(y),
+        np.asarray(jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )),
+    )
+
+    def loss_ref(x, k):
+        return (_xla_conv(x, k) * dy).sum()
+
+    def loss_kern(x, k):
+        return (conv3_mxu_bwd_diff(x, k) * dy).sum()
 
     want_dx, want_dk = jax.grad(loss_ref, (0, 1))(x, k)
     got_dx, got_dk = jax.grad(loss_kern, (0, 1))(x, k)
