@@ -74,6 +74,14 @@ class ModelConfig:
     # at the reference resolution is batch-2-max either way, so the flag
     # only matters for smaller grids / future chips.
     posenet_remat: bool = False
+    # Stage-level rematerialisation of FE / LCT / UNet in NlosPose.  Was
+    # unconditional through round 3; the round-4 HBM ledger
+    # (tpu_jobs/122: b2 train-step temp 2.52 GiB of 16, b8 fits) shows the
+    # memory it buys is no longer needed at 128^3, while its re-forwards
+    # cost ~25-30 ms of the step backward.  True remains the safe setting
+    # for >=256^3 grids; preset_t128 turns it off (measured win,
+    # tpu_jobs/125).
+    stage_remat: bool = True
 
 
 @dataclass(frozen=True)

@@ -52,16 +52,22 @@ class NlosPose(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        # Stage-level rematerialisation: at 128^3 the stored activations of
-        # the full pipeline exceed v5e HBM in the backward pass; checkpoint
-        # each stage boundary (posenet blocks are additionally rematted
-        # internally, models/posenet3d.py).
+        # Stage-level rematerialisation (cfg.stage_remat): checkpointing
+        # each stage boundary was required through round 3; the round-4 HBM
+        # ledger (tpu_jobs/122: b2 step temp 2.52 GiB of 16) shows 128^3
+        # training no longer needs it, and its re-forwards cost ~25-30 ms
+        # of the backward — preset_t128 turns it off, it stays the safe
+        # default for >=256^3 grids.
         # static_argnums: `train` selects the Pallas-vs-XLA conv path with
         # Python control flow, so it must stay concrete under remat.
-        self.feature_extraction = nn.remat(
-            FeatureExtraction, static_argnums=(2,)
-        )(basedim=c.basedim, stride=1, dtype=dtype)
-        self.autoencoder = nn.remat(UNet3d, static_argnums=(2,))(
+        fe_cls = (nn.remat(FeatureExtraction, static_argnums=(2,))
+                  if c.stage_remat else FeatureExtraction)
+        un_cls = (nn.remat(UNet3d, static_argnums=(2,))
+                  if c.stage_remat else UNet3d)
+        self.feature_extraction = fe_cls(
+            basedim=c.basedim, stride=1, dtype=dtype
+        )
+        self.autoencoder = un_cls(
             in_channels=c.in_channels, n_channels=4, dtype=dtype
         )
         if c.backbone == "posenet3d_50":
@@ -108,16 +114,18 @@ class NlosPose(nn.Module):
             b * ch, *x.shape[1:4]
         )
         # Recompute the FFT chain in the backward pass instead of storing
-        # the 2x-padded complex spectra (~0.5 GB per sample at 128^3).
+        # the 2x-padded complex spectra (~0.5 GB per sample at 128^3) —
+        # also gated on cfg.stage_remat (see setup()).
+        ckpt = jax.checkpoint if c.stage_remat else (lambda f: f)
         if self.spatial_mesh is not None:
             from hiddenpose_tpu.ops.lct import lct_apply_sharded
 
             mesh = self.spatial_mesh
-            vol = jax.checkpoint(
+            vol = ckpt(
                 lambda m, p: lct_apply_sharded(m, p, mesh)
             )(flat, lct)
         else:
-            vol = jax.checkpoint(
+            vol = ckpt(
                 lambda m, p: lct_apply(m, p, batch_chunk=c.lct_batch_chunk)
             )(flat, lct)
         vol = vol.reshape(b, ch, *vol.shape[1:]).transpose(0, 2, 3, 4, 1)
