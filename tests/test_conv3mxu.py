@@ -211,3 +211,38 @@ def test_bwd_route_matches_autodiff(shape, monkeypatch):
     got_dx, got_dk = jax.grad(loss_kern, (0, 1))(x, k)
     np.testing.assert_allclose(got_dx, want_dx, rtol=2e-5, atol=2e-4)
     np.testing.assert_allclose(got_dk, want_dk, rtol=2e-5, atol=2e-4)
+
+
+def test_bottleneck_bwd_route_grads_match(monkeypatch):
+    """The production 'bwd' route through a full train-mode Bottleneck:
+    the forward is bit-identical to the unrouted block (native primal) and
+    the gradients (Pallas dx in the conv2 backward) match full autodiff."""
+    import hiddenpose_tpu.ops.pallas.conv3mxu as m
+    from hiddenpose_tpu.models.posenet3d import Bottleneck
+
+    monkeypatch.setenv("HP_CONV3MXU_DT", "f32")
+    monkeypatch.setenv("HP_CONV3MXU_ROUTE", "bwd")
+
+    x = _rand((1, 4, 8, 16, 256))
+    model = Bottleneck(planes=64, train=True)
+    varz = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": varz["batch_stats"]}, x,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(out ** 2)
+
+    monkeypatch.setattr(m, "conv3mxu_enabled", lambda: True)
+    assert m.conv3mxu_route() == "bwd"
+    y_routed = loss(varz["params"], x)
+    g_routed = jax.grad(loss, (0, 1))(varz["params"], x)
+    monkeypatch.setattr(m, "conv3mxu_enabled", lambda: False)
+    y_base = loss(varz["params"], x)
+    g_base = jax.grad(loss, (0, 1))(varz["params"], x)
+
+    np.testing.assert_array_equal(np.asarray(y_routed), np.asarray(y_base))
+    for got, want in zip(jax.tree_util.tree_leaves(g_routed),
+                         jax.tree_util.tree_leaves(g_base)):
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
