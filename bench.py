@@ -11,7 +11,9 @@ image; north-star target is >=10x per chip).
 Env knobs: HP_BENCH_BATCH (default 2), HP_BENCH_SIZE (default 128),
 HP_BENCH_ITERS (default 10), HP_BENCH_MODE (default 'infer'; 'train' times
 the full jitted train step, 'lct' times the standalone reconstruction
-kernel — BASELINE configs[1,4]).
+kernel — BASELINE configs[1,4]).  The default 'infer' run ALSO times the
+jitted train step and adds `train_volumes_per_sec` to the JSON line
+(HP_BENCH_TRAIN=0 to skip), so both headline numbers are driver-captured.
 """
 
 from __future__ import annotations
@@ -116,7 +118,9 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
         lambda r, m: model.init(r, m, lct, train=False)
     )(jax.random.PRNGKey(410), meas[:1])
 
-    if mode == "train":
+    def time_train_step(train_iters):
+        """Time the full jitted train step (fwd+bwd+Adam) — the reference's
+        actual workload (`/root/reference/train.py:191-220`)."""
         tx = make_optimizer(cfg.train, steps_per_epoch=1)
         state = TrainState.create(
             variables["params"], variables["batch_stats"], tx
@@ -131,7 +135,10 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
             "joints_vis": jnp.ones((batch, 72), jnp.float32),
         }
         step_fn = make_train_step(model, donate=False)
-        sec = _timeit(lambda: step_fn(state, batch_data, lct)[1], iters)
+        return _timeit(lambda: step_fn(state, batch_data, lct)[1], train_iters)
+
+    if mode == "train":
+        sec = time_train_step(iters)
         return dict(metric=f"train_step_{size}^3_b{batch}", sec_per_iter=sec,
                     volumes_per_sec=batch / sec)
 
@@ -254,10 +261,19 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
     # Nearest-rank percentile: ceil(0.9 n) - 1, not int(0.9 n) (which for
     # n=10 selects index 9 — the maximum).
     p90 = lats[min(len(lats) - 1, math.ceil(0.9 * len(lats)) - 1)]
-    return dict(metric=f"nlospose_infer_{size}^3_b{batch}", sec_per_iter=sec,
-                volumes_per_sec=batch / sec,
-                p50_latency_ms=round(p50 * 1000, 2),
-                p90_latency_ms=round(p90 * 1000, 2))
+    res = dict(metric=f"nlospose_infer_{size}^3_b{batch}", sec_per_iter=sec,
+               volumes_per_sec=batch / sec,
+               p50_latency_ms=round(p50 * 1000, 2),
+               p90_latency_ms=round(p90 * 1000, 2))
+    # Default run also captures the TRAIN-step throughput (the reference's
+    # actual workload) so the headline JSON line carries both numbers.
+    # HP_BENCH_TRAIN=0 opts out (the train-step compile costs minutes on a
+    # fresh process via the relay's remote compiler).
+    if os.environ.get("HP_BENCH_TRAIN", "1") != "0":
+        tsec = time_train_step(max(3, iters // 2))
+        res["train_sec_per_step"] = tsec
+        res["train_volumes_per_sec"] = round(batch / tsec, 4)
+    return res
 
 
 def main():
@@ -286,7 +302,7 @@ def main():
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }
-    for k in ("p50_latency_ms", "p90_latency_ms"):
+    for k in ("p50_latency_ms", "p90_latency_ms", "train_volumes_per_sec"):
         if k in res:
             out[k] = res[k]
     print(json.dumps(out))

@@ -74,13 +74,13 @@ class ModelConfig:
     # at the reference resolution is batch-2-max either way, so the flag
     # only matters for smaller grids / future chips.
     posenet_remat: bool = False
-    # Stage-level rematerialisation of FE / LCT / UNet in NlosPose.  Was
-    # unconditional through round 3; the round-4 HBM ledger
-    # (tpu_jobs/122: b2 train-step temp 2.52 GiB of 16, b8 fits) shows the
-    # memory it buys is no longer needed at 128^3, while its re-forwards
-    # cost ~25-30 ms of the step backward.  True remains the safe setting
-    # for >=256^3 grids; preset_t128 turns it off (measured win,
-    # tpu_jobs/125).
+    # Stage-level rematerialisation of FE / LCT / UNet in NlosPose.  The
+    # round-4 HBM ledger (tpu_jobs/122: b2 train-step temp 2.52 GiB of 16)
+    # shows the memory it buys is no longer needed at 128^3, but the A/B
+    # (tpu_jobs/125) measured remat-OFF *slower* (383.8 vs 376.2 ms): XLA
+    # already rematerialises across these boundaries and its no-remat
+    # schedule is slightly worse.  Default stays ON (also the safe setting
+    # for >=256^3 grids); the knob exists for A/B measurement only.
     stage_remat: bool = True
 
 

@@ -55,9 +55,9 @@ class NlosPose(nn.Module):
         # Stage-level rematerialisation (cfg.stage_remat): checkpointing
         # each stage boundary was required through round 3; the round-4 HBM
         # ledger (tpu_jobs/122: b2 step temp 2.52 GiB of 16) shows 128^3
-        # training no longer needs it, and its re-forwards cost ~25-30 ms
-        # of the backward — preset_t128 turns it off, it stays the safe
-        # default for >=256^3 grids.
+        # training no longer needs the memory, but the A/B (tpu_jobs/125)
+        # measured remat-OFF slightly SLOWER (XLA already remats across
+        # these boundaries), so True stays the default everywhere.
         # static_argnums: `train` selects the Pallas-vs-XLA conv path with
         # Python control flow, so it must stay concrete under remat.
         fe_cls = (nn.remat(FeatureExtraction, static_argnums=(2,))

@@ -271,7 +271,11 @@ class BasicBlock(nn.Module):
         train = self.train
         # torch-convention padding — see Bottleneck.
         s = self.stride
-        shape2 = (x.shape[0], *(v // s for v in x.shape[1:4]), self.planes)
+        # torch k3 s2 p1 conv output extent is ceil(v/s) = (v-1)//s + 1
+        # (matters for odd extents; v//s under-predicts and could desync
+        # the routing heuristic from the real conv2 input shape).
+        shape2 = (x.shape[0], *((v - 1) // s + 1 for v in x.shape[1:4]),
+                  self.planes)
         routed = _conv2_routed(shape2, self.planes, 1)
         conv = lambda f, k, s, name: FastConv(
             f, kernel_size=k, stride=s, dtype=self.dtype, name=name,

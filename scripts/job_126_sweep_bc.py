@@ -1,11 +1,23 @@
 '''Seed-sweep runs B (init lottery) and C (order lottery) — continuation of
 job 123 whose run A (the exact recipe seeds) completed before the job was
-cut for time.  Appends to /root/repo/learning_curve_r4.json.'''
+cut for time.  Appends to /root/repo/learning_curve_r4.json.
+
+Runs under scripts/tpu_worker.py's exec harness, which injects jax/jnp/np
+and LOG into the globals; the fallbacks below also make it standalone-
+runnable for reproduction.'''
 import dataclasses
 import json
 import os
 import sys
 import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+if "LOG" not in globals():
+    LOG = print
 
 for k in ("HP_CONV3MXU", "HP_CONV3MXU_ROUTE"):
     os.environ.pop(k, None)
