@@ -135,7 +135,32 @@ def _pair_prev(t, axis):
     return jnp.where(idx % 2 == 1, bwd, jnp.zeros((), t.dtype)).astype(bool)
 
 
+def _pool2_pallas_eligible(x) -> bool:
+    """Route the pool backward through the Pallas VMEM kernel
+    (`ops/pallas/pool2p.py`) on TPU: the elementwise formulation below is
+    algebraically minimal but its rolls lower to HBM slice+concat DMA
+    pairs at planes layout — 40 of the UNet gradient's async slice DMAs
+    in the round-4 profile (BENCH_NOTES).  Bit-identical routing
+    (first-match), tested in tests/test_pool2p.py.  HP_POOL2P=0 restores
+    the XLA path for A/B."""
+    import os
+
+    # Default flips to "1" once the on-chip validation job lands (round-5
+    # measurement discipline: interpret-mode exactness is tested, but the
+    # Mosaic lowering itself is validated on hardware before routing the
+    # production train path through it).
+    if os.environ.get("HP_POOL2P", "0") != "1" or not pallas_enabled():
+        return False
+    _, _, d, h, w = x.shape
+    return d % 2 == 0 and h % 16 == 0 and w % 16 == 0 and w <= 128
+
+
 def _max_pool2_bwd(res, dy):
+    x, y = res
+    if _pool2_pallas_eligible(x):
+        from hiddenpose_tpu.ops.pallas.pool2p import pool2_bwd_planes_pallas
+
+        return (pool2_bwd_planes_pallas(x, dy),)
     # All-elementwise formulation in the ORIGINAL layout.  Three earlier
     # attempts lowered badly on TPU (profiles in tpu_jobs/004/005/011/012):
     # strided `x[:, :, p::2]` slices became 2.8 ms gather fusions,
@@ -148,7 +173,6 @@ def _max_pool2_bwd(res, dy):
     #            composed per axis: earlier-w same (d,h); earlier-h any w;
     #            earlier-d any (h,w))
     #   dx    = first ? dy↑ : 0
-    x, y = res
     up = lambda t: jnp.repeat(
         jnp.repeat(jnp.repeat(t, 2, 2), 2, 3), 2, 4
     )
