@@ -50,12 +50,32 @@ def _round8(v: int) -> int:
     return -(-v // 8) * 8
 
 
+_KB_BUDGET = 12 * 1024 * 1024  # packed-weight VMEM budget per pallas_call
+
+
+def _cout_split(cin: int, cout: int, sw: int, isz: int) -> int:
+    """Smallest C_out split factor whose per-call packed weight fits the
+    VMEM budget (round-5 VERDICT #8: c512's 28 MB f32 operand busts the
+    budget whole, but 2-4 column slices of it fit — the activation tile at
+    the 8^3 layer-4 extent is tiny, so re-streaming x per slice is cheap).
+    Returns 0 if no valid split exists.  Folded (cin=64) shapes never need
+    splitting (1.7 MB operand) and keep split=1 by construction."""
+    kbytes = 3 * max(cin, 128) * 9 * sw * isz
+    ns = 1
+    while kbytes // ns > _KB_BUDGET:
+        ns *= 2
+        if cout % (64 * ns) or (cin == 64):
+            return 0
+    return ns
+
+
 def conv3mxu_supported(shape, cin: int, cout: int) -> bool:
     """Static eligibility: shapes the kernel handles AND is profitable on.
 
     C_in = 64 (lane-folded) or a multiple of 128; C_out a multiple of 64;
     the packed weight operand (3, K, 9*sw) must fit VMEM alongside the
-    tiles, which excludes c512 (28 MB) — layer 4 stays on XLA."""
+    tiles — whole, or after the C_out column split that makes the c512
+    layer-4 shapes eligible (round 5; previously excluded at 28 MB)."""
     b, d, h, w, _ = shape
     allow = os.environ.get("HP_CONV3MXU_CIN", "")
     if allow and str(cin) not in allow.split(","):
@@ -76,8 +96,14 @@ def conv3mxu_supported(shape, cin: int, cout: int) -> bool:
         return False
     if h < 3 or d < 1:
         return False
-    kbytes = 3 * max(cin, 128) * 9 * sw * 4
-    return kbytes <= 12 * 1024 * 1024
+    ns = _cout_split(cin, cout, sw, 4)
+    if ns > 1 and os.environ.get("HP_CONV3MXU_C512", "0") != "1":
+        # Split shapes (layer-4 c512) stay off the production routing until
+        # the on-chip composed A/B lands (round-5 measurement discipline:
+        # interpret-mode exactness is tested, but the Mosaic lowering runs
+        # on hardware before the default train path routes through it).
+        return False
+    return ns > 0
 
 
 def _build_bmat(k: jax.Array, folded: bool):
@@ -260,14 +286,16 @@ def _conv3mxu_kernel(x_hbm, b_ref, sb_ref, o_ref, x_tile, sems, *, dt, nd, h,
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
                 khs = (ks,) if split_kh else (0, 1, 2)
+                # NB: `gw` (the kw tap index), not `g` — the outer flattened
+                # grid-step variable `g` is still live in this scope.
                 for i, kh in enumerate(khs):
-                    for g in range(3):
-                        off = 8 + kh * wr + g - 1
+                    for gw in range(3):
+                        off = 8 + kh * wr + gw - 1
                         sl = p[off:off + rows_out,
-                               (i * 3 + g) * sw:(i * 3 + g + 1) * sw]
-                        if g == 0:
+                               (i * 3 + gw) * sw:(i * 3 + gw + 1) * sw]
+                        if gw == 0:
                             sl = jnp.where(m0, 0.0, sl)
-                        elif g == 2:
+                        elif gw == 2:
                             sl = jnp.where(mw, 0.0, sl)
                         acc = sl if acc is None else acc + sl
         # Fused BN-affine + ReLU epilogue: without it every kernel-routed
@@ -300,9 +328,32 @@ def conv3_mxu(x: jax.Array, k: jax.Array,
     bf16 halves the DMA traffic and runs one MXU pass per tap-slab matmul
     instead of the multi-pass f32 decomposition. Override per-call with
     ``compute_dtype='f32'`` or process-wide with HP_CONV3MXU_DT=f32
-    (resolved at call time, passed to jit as a static arg)."""
+    (resolved at call time, passed to jit as a static arg).
+
+    Shapes whose packed weight exceeds the per-call VMEM budget (layer-4
+    c512: 14 MB bf16 / 28 MB f32) are split along C_out into the smallest
+    number of column slices that fit, one pallas_call each, concatenated
+    on the channel axis — numerics are identical (each output channel's
+    arithmetic is untouched by the split)."""
     if compute_dtype is None:
         compute_dtype = os.environ.get("HP_CONV3MXU_DT", "bf16")
+    cin, cout = k.shape[3], k.shape[4]
+    isz = 4 if compute_dtype in ("f32", "float32") else 2
+    sw = 2 * cout if cin == 64 else cout
+    ns = _cout_split(cin, cout, sw, isz)
+    assert ns >= 1, (x.shape, cin, cout)
+    if ns > 1:
+        cw = cout // ns
+        parts = []
+        for i in range(ns):
+            sl = slice(i * cw, (i + 1) * cw)
+            parts.append(_conv3_mxu_jit(
+                x, k[..., sl],
+                None if scale is None else scale[sl],
+                None if shift is None else shift[sl],
+                relu=relu, interpret=interpret, cdt=compute_dtype,
+            ))
+        return jnp.concatenate(parts, axis=-1)
     return _conv3_mxu_jit(x, k, scale, shift, relu=relu,
                           interpret=interpret, cdt=compute_dtype)
 

@@ -5,6 +5,8 @@ CPU CI runs the kernel in interpreter mode (exact f32); the on-chip
 validation job re-runs the same comparisons on the TPU
 (scripts history / tpu_jobs)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,10 +74,44 @@ def test_supported_gate():
     assert conv3mxu_supported((2, 64, 64, 64, 64), 64, 64)
     assert conv3mxu_supported((2, 32, 32, 32, 128), 128, 128)
     assert conv3mxu_supported((2, 16, 16, 16, 256), 256, 256)
-    # c512: packed weights exceed VMEM — XLA keeps layer 4.
+    # c512 (layer 4): the C_out column split (round 5) makes it mechanically
+    # eligible, but routing stays gated behind HP_CONV3MXU_C512 until the
+    # on-chip composed A/B validates it.
     assert not conv3mxu_supported((2, 8, 8, 8, 512), 512, 512)
+    os.environ["HP_CONV3MXU_C512"] = "1"
+    try:
+        assert conv3mxu_supported((2, 8, 8, 8, 512), 512, 512)
+    finally:
+        del os.environ["HP_CONV3MXU_C512"]
     assert not conv3mxu_supported((2, 16, 16, 16, 32), 32, 64)
     assert not conv3mxu_supported((2, 16, 16, 12, 64), 64, 64)
+
+
+def test_forward_c512_cout_split():
+    """Layer-4-shaped conv (cin=cout=512 @ 8^3): the packed weight busts
+    the per-call VMEM budget whole, so conv3_mxu runs C_out column slices
+    and concatenates — numerics must be identical to the unsplit math."""
+    b, d, h, w, cin, cout = 1, 4, 8, 8, 512, 512
+    x = _rand((b, d, h, w, cin)) * 0.2
+    k = _rand((3, 3, 3, cin, cout), 1) * 0.02
+    got = conv3_mxu(x, k, interpret=True, compute_dtype="f32")
+    want = _xla_conv(x, k)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_grad_c512_cout_split(monkeypatch):
+    """dx through the split kernel (the production 'bwd' routing use) on
+    the layer-4 shape matches autodiff of the XLA conv."""
+    monkeypatch.setenv("HP_CONV3MXU_DT", "f32")
+    b, d, h, w, cin, cout = 1, 2, 8, 8, 512, 512
+    x = _rand((b, d, h, w, cin)) * 0.2
+    k = _rand((3, 3, 3, cin, cout), 1) * 0.02
+    dy = _rand((b, d, h, w, cout), 2) * 0.1
+
+    want_dx = jax.grad(lambda x_: (_xla_conv(x_, k) * dy).sum())(x)
+    got_dx = jax.grad(lambda x_: (conv3_mxu_diff(x_, k) * dy).sum())(x)
+    scale = jnp.abs(want_dx).max() + 1e-8
+    assert (jnp.abs(got_dx - want_dx).max() / scale) < 5e-5
 
 
 def test_dk_matches_autodiff():
