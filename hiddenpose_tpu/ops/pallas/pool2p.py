@@ -53,22 +53,17 @@ def _pair_max(t, axis):
     return jnp.maximum(t, mate)
 
 
-def _pair_or(t, axis):
-    """OR within pairs along `axis` (same broadcast form, for bool-ish
-    f32 masks kept as f32 0/1 via maximum)."""
-    n = t.shape[axis]
-    fwd = pltpu.roll(t, n - 1, axis)
-    bwd = pltpu.roll(t, 1, axis)
-    idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, axis)
-    mate = jnp.where(idx % 2 == 0, fwd, bwd)
-    return jnp.logical_or(t, mate)
-
-
 def _pair_prev(t, axis):
-    """earlier-mate value: out[2k] = False, out[2k+1] = t[2k]."""
+    """earlier-mate value of an f32 0/1 mask: out[2k] = 0, out[2k+1] = t[2k].
+
+    Masks stay f32 throughout the kernel: Mosaic's dynamic_rotate (the
+    lowering of pltpu.roll) only supports 32-bit element types — the
+    bool-mask version of this algebra failed hardware compile with
+    "not implemented: Rotate with non-32-bit data" (round-5 job 129b).
+    0/1 f32 products/maxima are exact, so the routing is unchanged."""
     bwd = pltpu.roll(t, 1, axis)
     idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, axis)
-    return jnp.logical_and(idx % 2 == 1, bwd)
+    return jnp.where(idx % 2 == 1, bwd, jnp.zeros((), jnp.float32))
 
 
 def _pool2_bwd_kernel(x_ref, g_ref, dx_ref, *, td, h, w):
@@ -110,23 +105,21 @@ def _pool2_bwd_kernel(x_ref, g_ref, dx_ref, *, td, h, w):
         )
 
         def first_match(xm, a_d):
-            mm = xm == up_y
+            # f32 0/1 mask algebra (see _pair_prev): pair-OR is _pair_max
+            # on 0/1 values; AND-NOT chains are exact products.
+            mm = (xm == up_y).astype(jnp.float32)
             a_w = _pair_prev(mm, 1)
-            p_w = _pair_or(mm, 1)
+            p_w = _pair_max(mm, 1)
             a_h = _pair_prev(p_w, 0)
-            p_h = _pair_or(p_w, 0)
-            first = jnp.logical_and(
-                mm, jnp.logical_not(
-                    jnp.logical_or(jnp.logical_or(a_w, a_h), a_d))
-            )
+            p_h = _pair_max(p_w, 0)
+            first = mm * (1.0 - a_w) * (1.0 - a_h) * (1.0 - a_d)
             return first, p_h
 
-        first0, p_h0 = first_match(x0, jnp.zeros((h, w), jnp.bool_))
+        first0, p_h0 = first_match(x0, jnp.zeros((h, w), jnp.float32))
         first1, _ = first_match(x1, p_h0)
 
-        zero = jnp.zeros((h, w), jnp.float32)
-        dx_ref[pl.ds(2 * m, 1)] = jnp.where(first0, up_dy, zero)[None]
-        dx_ref[pl.ds(2 * m + 1, 1)] = jnp.where(first1, up_dy, zero)[None]
+        dx_ref[pl.ds(2 * m, 1)] = (first0 * up_dy)[None]
+        dx_ref[pl.ds(2 * m + 1, 1)] = (first1 * up_dy)[None]
         return carry
 
     jax.lax.fori_loop(0, td, body, 0)
