@@ -57,10 +57,13 @@ class FastConv(nn.Module):
         from hiddenpose_tpu.ops.conv3d_fast import (
             conv1x1x1_mm,
             conv3x3x3_d2d,
+            conv3x3x3_taps_mm,
             fast_modes,
         )
         from hiddenpose_tpu.ops.conv_acc import conv_acc32
+        from hiddenpose_tpu.ops.pallas.conv3mxu import conv3mxu_route
 
+        route = conv3mxu_route()
         k = self.kernel_size
         kernel = self.param(
             "kernel", kaiming_out_normal,
@@ -86,15 +89,13 @@ class FastConv(nn.Module):
                 conv3_mxu,
                 conv3_mxu_bwd_diff,
                 conv3_mxu_diff,
-                conv3mxu_route,
                 conv3mxu_supported,
             )
 
-            route = conv3mxu_route()
             if route and conv3mxu_supported(
                 x.shape, x.shape[-1], self.features
             ):
-                if route == "full":
+                if route in ("full", "island"):
                     if scale is not None or relu:
                         # Fused-epilogue form is inference-only (no VJP).
                         return conv3_mxu(x, kernel, scale, shift, relu=relu)
@@ -105,8 +106,15 @@ class FastConv(nn.Module):
                     # request falls through to the base path + XLA-fused
                     # epilogue, which is the same program.
                     return conv3_mxu_bwd_diff(x, kernel)
+        if k == 3 and route == "island":
+            # 'island' keeps the forward free of XLA convolution ops: the
+            # stage-transition stride-2 convs (and any 3^3 the MXU kernel
+            # doesn't admit) lower as tap matmuls at default layout instead
+            # of XLA convs whose channel-major layout choice charges
+            # boundary copies (round-4 census, tpu_jobs/127).
+            return epilogue(conv3x3x3_taps_mm(x, kernel, self.stride))
         modes = fast_modes()
-        if k == 1 and (self.prefer_mm or "mm" in modes):
+        if k == 1 and (self.prefer_mm or route == "island" or "mm" in modes):
             # dot_general wants the DEFAULT layout, same as a Pallas
             # custom call.  When the block's 3^3 conv runs in the MXU
             # kernel, leaving the 1x1s as XLA convolutions makes layout
@@ -138,13 +146,16 @@ class FastDeconv(nn.Module):
             deconv4_s2_diff,
             fast_modes,
         )
+        from hiddenpose_tpu.ops.pallas.conv3mxu import conv3mxu_route
 
         kernel = self.param(
             "kernel", deconv_init, (4, 4, 4, x.shape[-1], self.features)
         )
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
-        if "deconv" in fast_modes():
+        if "deconv" in fast_modes() or conv3mxu_route() == "island":
+            # 'island': the 8-phase matmul form (bit-exact vs flax) keeps
+            # the head free of XLA transposed convs — see FastConv.
             return conv_transpose4_s2_mm(x, kernel)
         # Native forward; custom backward (phase-matmul dk, strided-conv
         # dx) — see ops/conv3d_fast.py::deconv4_s2_diff.
@@ -180,7 +191,8 @@ class BNAffine(nn.Module):
 
 
 def _conv2_route(shape, planes: int, stride: int) -> str:
-    """Static routing for this block's conv2: '' | 'bwd' | 'full'."""
+    """Static routing for this block's conv2: '' | 'bwd' | 'full' |
+    'island' (see ops/pallas/conv3mxu.py::conv3mxu_route)."""
     from hiddenpose_tpu.ops.pallas.conv3mxu import (
         conv3mxu_route,
         conv3mxu_supported,
@@ -195,20 +207,23 @@ def _conv2_route(shape, planes: int, stride: int) -> str:
 
 def _conv2_routed(shape, planes: int, stride: int) -> bool:
     """Should the sibling 1x1 convs lower as dot_generals (prefer_mm)?
-    Only when the Pallas kernel runs in the FORWARD program ('full'):
-    there, a channel-major XLA conv neighbouring the custom-call boundary
-    costs a full-activation copy per boundary (+14 copies / +15 ms,
-    tpu_jobs/109-110).  Under 'bwd' routing the forward program is all-XLA
-    (mm 1x1s would only hurt it — tpu_diag_conv2) and the grad program
-    keeps XLA's fused conv backward around the dx custom calls."""
-    return _conv2_route(shape, planes, stride) == "full"
+    Only when the Pallas kernel runs in the FORWARD program ('full' /
+    'island'): there, a channel-major XLA conv neighbouring the
+    custom-call boundary costs a full-activation copy per boundary
+    (+14 copies / +15 ms, tpu_jobs/109-110).  Under 'bwd' routing the
+    forward program is all-XLA (mm 1x1s would only hurt it —
+    tpu_diag_conv2) and the grad program keeps XLA's fused conv backward
+    around the dx custom calls."""
+    return _conv2_route(shape, planes, stride) in ("full", "island")
 
 
 def _conv2_fusible(shape, planes: int, train: bool, stride: int) -> bool:
     """Fuse the bn2 affine into the conv2 kernel epilogue (inference only —
     training BN needs batch statistics of the raw conv output, and the
     Pallas fused form has no VJP)."""
-    return not train and _conv2_route(shape, planes, stride) == "full"
+    return not train and _conv2_route(shape, planes, stride) in (
+        "full", "island",
+    )
 
 
 class Bottleneck(nn.Module):
@@ -298,6 +313,36 @@ class BasicBlock(nn.Module):
         return nn.relu(out + residual)
 
 
+class FinalConv(nn.Module):
+    """The head's 1x1x1 conv to ``num_joints`` channels, with bias — param
+    tree identical to ``nn.Conv`` ({'kernel': (1,1,1,C_in,C_out), 'bias'})
+    so checkpoints and the torch importer are unchanged.  Base path is the
+    same lax conv nn.Conv lowers to; 'island' routing applies it as a
+    dot_general (see FastConv)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from hiddenpose_tpu.ops.conv3d_fast import conv1x1x1_mm
+        from hiddenpose_tpu.ops.pallas.conv3mxu import conv3mxu_route
+
+        kernel = self.param(
+            "kernel", kaiming_out_normal, (1, 1, 1, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if conv3mxu_route() == "island":
+            return conv1x1x1_mm(x, kernel) + bias.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+
 class DeconvHead(nn.Module):
     """3 x (ConvTranspose k4 s2 + BN + ReLU) then 1x1x1 conv to joints.
 
@@ -319,10 +364,7 @@ class DeconvHead(nn.Module):
                 use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i + 1}",
             )(x)
             x = nn.relu(x)
-        return nn.Conv(
-            self.num_joints, (1, 1, 1), use_bias=True,
-            kernel_init=kaiming_out_normal, dtype=self.dtype, name="final",
-        )(x)
+        return FinalConv(self.num_joints, dtype=self.dtype, name="final")(x)
 
 
 class StemS2D(nn.Module):

@@ -96,6 +96,48 @@ def conv3x3x3_d2d(x: jax.Array, k: jax.Array, stride: int = 1) -> jax.Array:
     return acc.reshape(b, dout, ho, wo, co).astype(x.dtype)
 
 
+def conv3x3x3_taps_mm(x: jax.Array, k: jax.Array, stride: int = 1) -> jax.Array:
+    """3^3 conv (NDHWC, torch padding 1) as 27 tap slices + flat matmuls —
+    a forward with NO XLA convolution op.
+
+    Built for the 'island' routing mode (round 5): in the Pallas-routed
+    posenet forward, XLA's layout assignment gives its own stride-2 convs
+    and pool fusions a split channel-major layout and charges a pair of
+    full-activation layout copies at every adjacent custom-call boundary
+    (round-4 HLO census: +37 copies / +8 ms, tpu_jobs/127).  dot_generals
+    keep the default row-major layout, so replacing the three stage-
+    transition s2 convs (and any unkernelled s1 3^3) with this form leaves
+    layout assignment nothing channel-major to anchor on.  The tap slices
+    re-read the activation ~3.4x (vs 27x tap FLOP reuse in a real conv) —
+    acceptable because the s2 convs are the smallest in the net; the hot
+    s1 convs stay on `ops/pallas/conv3mxu.py`.
+
+    k: (3, 3, 3, C_in, C_out); output extent (v-1)//stride + 1 per axis
+    (torch Conv3d(k3, s, p1) convention, `posenet3d_50.py:13-23`)."""
+    b, d, h, w, ci = x.shape
+    co = k.shape[4]
+    do, ho, wo = ((v - 1) // stride + 1 for v in (d, h, w))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    kf = k.reshape(27, ci, co)
+    acc = None
+    for t in range(27):
+        td, th, tw = t // 9, (t // 3) % 3, t % 3
+        xs = jax.lax.slice(
+            xp,
+            (0, td, th, tw, 0),
+            (b, td + stride * (do - 1) + 1, th + stride * (ho - 1) + 1,
+             tw + stride * (wo - 1) + 1, ci),
+            (1, stride, stride, stride, 1),
+        )
+        y = jax.lax.dot_general(
+            xs.reshape(-1, ci), kf[t],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=_pref(x),
+        )
+        acc = y if acc is None else acc + y
+    return acc.reshape(b, do, ho, wo, co).astype(x.dtype)
+
+
 def _deconv_fwd_impl(x, k):
     return jax.lax.conv_transpose(
         x, k, (2, 2, 2), "SAME",

@@ -592,7 +592,11 @@ def conv3mxu_route() -> str:
     '' (kernel off) | 'bwd' (default: native forward, Pallas dx — the
     measured optimum in the composed model, see conv3_mxu_bwd_diff) |
     'full' (Pallas forward + fused BN/ReLU epilogue too — wins on isolated
-    blocks; HP_CONV3MXU_ROUTE=full to A/B)."""
+    blocks; HP_CONV3MXU_ROUTE=full to A/B) | 'island' ('full' plus every
+    neighbouring conv reformulated as dot_generals — stride-2 taps-mm,
+    1x1 mm, head deconv phase-mm — so the forward has NO XLA convolution
+    and layout assignment can't charge boundary copies; round 5, see
+    models/posenet3d.py)."""
     if not conv3mxu_enabled():
         return ""
     return os.environ.get("HP_CONV3MXU_ROUTE", "bwd")

@@ -169,3 +169,68 @@ def test_deconv_bwd_bf16_cast_path(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), b, rtol=2e-2, atol=2e-2 * np.abs(b).max()
         )
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("shape", [(2, 6, 6, 6, 8), (1, 5, 7, 6, 8)])
+def test_conv3_taps_mm_matches_native(shape, stride):
+    """27-tap matmul form (the 'island' route's conv-free s2 lowering)."""
+    from hiddenpose_tpu.ops.conv3d_fast import conv3x3x3_taps_mm
+
+    x = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    k = jnp.asarray(rng.rand(3, 3, 3, 8, 4).astype(np.float32))
+    np.testing.assert_allclose(
+        conv3x3x3_taps_mm(x, k, stride), _native(x, k, stride),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_taps_mm_gradients_match_native():
+    from hiddenpose_tpu.ops.conv3d_fast import conv3x3x3_taps_mm
+
+    x = jnp.asarray(rng.rand(1, 5, 5, 5, 8).astype(np.float32))
+    k = jnp.asarray(rng.rand(3, 3, 3, 8, 4).astype(np.float32))
+    for stride in (1, 2):
+        gf = jax.grad(
+            lambda x, k: jnp.sum(conv3x3x3_taps_mm(x, k, stride) ** 2), (0, 1)
+        )
+        gn = jax.grad(
+            lambda x, k: jnp.sum(_native(x, k, stride) ** 2), (0, 1)
+        )
+        for a, b in zip(gf(x, k), gn(x, k)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_island_route_matches_base(monkeypatch):
+    """HP_CONV3MXU_ROUTE=island: the conv-free forward (Pallas conv2 +
+    taps-mm s2 + mm 1x1s + phase-mm deconvs + mm final) matches the base
+    XLA program on a stride-2 projection Bottleneck, a stride-1 (MXU-
+    routed, interpret-mode) Bottleneck, and the DeconvHead."""
+    import hiddenpose_tpu.ops.pallas.conv3mxu as m
+    from hiddenpose_tpu.models.posenet3d import Bottleneck, DeconvHead
+
+    monkeypatch.setenv("HP_CONV3MXU_DT", "f32")
+    monkeypatch.setenv("HP_CONV3MXU_ROUTE", "island")
+
+    x = jnp.asarray(rng.rand(1, 4, 8, 16, 256).astype(np.float32))
+    for stride, proj in ((2, True), (1, False)):
+        blk = Bottleneck(
+            planes=64, stride=stride, use_projection=proj, train=False
+        )
+        v = blk.init(jax.random.PRNGKey(1), x)
+        monkeypatch.setattr(m, "conv3mxu_enabled", lambda: True)
+        y_island = blk.apply(v, x)
+        monkeypatch.setattr(m, "conv3mxu_enabled", lambda: False)
+        y_base = blk.apply(v, x)
+        np.testing.assert_allclose(
+            y_island, y_base, rtol=2e-5, atol=2e-4
+        )
+
+    head = DeconvHead(num_joints=3)
+    h = jnp.asarray(rng.rand(1, 4, 4, 4, 32).astype(np.float32))
+    v = head.init(jax.random.PRNGKey(2), h)
+    monkeypatch.setattr(m, "conv3mxu_enabled", lambda: True)
+    y_island = head.apply(v, h)
+    monkeypatch.setattr(m, "conv3mxu_enabled", lambda: False)
+    y_base = head.apply(v, h)
+    np.testing.assert_allclose(y_island, y_base, rtol=1e-5, atol=1e-5)
