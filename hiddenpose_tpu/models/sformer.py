@@ -33,8 +33,22 @@ Dtype = Any
 
 
 def _attend(q, k, v):
-    """Plain softmax attention over (..., n, d) with batched heads folded in
-    (`NlosPoseSformer.py:174-183`)."""
+    """Softmax attention over (..., n, d) with batched heads folded in
+    (`NlosPoseSformer.py:174-183`).  On TPU, eligible shapes (the grouped
+    patch attention: ~1k tokens, head dim 32) run in the fused VMEM
+    Pallas kernel — the XLA lowering materialises the f32 similarity
+    tensor to HBM (~4.4 GB/layer at realdata scale) and is bandwidth-
+    bound; see ops/pallas/attn_vmem.py.  The joint-token read over all
+    f*n patches (Lk ~131k) exceeds the kernel's VMEM envelope and stays
+    on the XLA path, whose similarity tensor is 44x smaller."""
+    from hiddenpose_tpu.ops.pallas.attn_vmem import (
+        attend_fused,
+        attend_fused_supported,
+        attn_route,
+    )
+
+    if attn_route() == "fused" and attend_fused_supported(q.shape, k.shape):
+        return attend_fused(q, k, v)
     sim = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     return jnp.einsum("bij,bjd->bid", attn, v)

@@ -145,11 +145,12 @@ def _pool2_pallas_eligible(x) -> bool:
     the XLA path for A/B."""
     import os
 
-    # Default flips to "1" once the on-chip validation job lands (round-5
-    # measurement discipline: interpret-mode exactness is tested, but the
-    # Mosaic lowering itself is validated on hardware before routing the
-    # production train path through it).
-    if os.environ.get("HP_POOL2P", "0") != "1" or not pallas_enabled():
+    # Default ON since the round-5 on-chip validation (tpu_jobs/129b):
+    # kernel-vs-XLA bit-exact at three shapes incl. ties on hardware, and
+    # the composed UNet grad measured 44.9 -> 43.9 ms.  (The same job also
+    # showed the pool rolls were NOT the dominant UNet-grad cost the
+    # round-4 attribution suggested — the win is real but ~1 ms.)
+    if os.environ.get("HP_POOL2P", "1") != "1" or not pallas_enabled():
         return False
     _, _, d, h, w = x.shape
     return d % 2 == 0 and h % 16 == 0 and w % 16 == 0 and w <= 128
