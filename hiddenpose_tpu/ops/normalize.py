@@ -51,6 +51,18 @@ def normalize_last(x):
     """Channels-last variant: normalise over all axes except batch and the
     trailing channel axis. x: (B, ..., C)."""
     b, c = x.shape[0], x.shape[-1]
+    if c == 1:
+        # Hot path (the t128 pipeline's post-LCT normalize has ch=1): a
+        # (B, N, 1) middle-axis reduce puts the size-1 channel axis on the
+        # minor (lane) dim — 1/128 lane occupancy, measured 3.7 ms at
+        # 50 GB/s for a 17 MB volume (round-4 MFU table).  C=1 makes the
+        # (B, N) reshape a free bitcast, and minor-axis reductions run at
+        # full lane width.
+        flat = x.reshape(b, -1)
+        lo = jnp.min(flat, axis=1, keepdims=True)
+        hi = jnp.max(flat, axis=1, keepdims=True)
+        flat = (flat - lo) / (hi - lo + 1e-15)
+        return flat.reshape(x.shape)
     flat = x.reshape(b, -1, c)
     lo, hi = _minmax(flat, 1)
     lo = lo[:, None, :]
