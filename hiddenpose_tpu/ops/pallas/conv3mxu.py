@@ -69,33 +69,39 @@ def _cout_split(cin: int, cout: int, sw: int, isz: int) -> int:
     return ns
 
 
-def conv3mxu_supported(shape, cin: int, cout: int) -> bool:
-    """Static eligibility: shapes the kernel handles AND is profitable on.
-
-    C_in = 64 (lane-folded) or a multiple of 128; C_out a multiple of 64;
-    the packed weight operand (3, K, 9*sw) must fit VMEM alongside the
-    tiles — whole, or after the C_out column split that makes the c512
-    layer-4 shapes eligible (round 5; previously excluded at 28 MB)."""
+def _shape_ok(shape, cin: int, cout: int) -> bool:
+    """Mechanical shape eligibility (no env gates, no VMEM math): the
+    layouts the kernel can execute at all."""
     b, d, h, w, _ = shape
-    allow = os.environ.get("HP_CONV3MXU_CIN", "")
-    if allow and str(cin) not in allow.split(","):
-        return False
     if cout % 64 or cout < 64:
         return False
     if cin == 64:
         wr = w // 2
         if w % 2 or wr % 8 or wr < 8:
             return False
-        sw = 2 * cout
     elif cin % 128 == 0:
-        wr = w
         if w % 8:
             return False
-        sw = cout
     else:
         return False
-    if h < 3 or d < 1:
+    return h >= 3 and d >= 1
+
+
+def conv3mxu_supported(shape, cin: int, cout: int) -> bool:
+    """ROUTER-level eligibility: shapes the kernel handles AND is allowed
+    to take on the production path.  C_in = 64 (lane-folded) or a multiple
+    of 128; C_out a multiple of 64; the packed weight operand (3, K, 9*sw)
+    must fit VMEM alongside the tiles — whole, or after the C_out column
+    split that makes the c512 layer-4 shapes eligible (round 5; previously
+    excluded at 28 MB).  The split check uses the conservative f32 item
+    size so routing decisions don't flip with HP_CONV3MXU_DT; the executor
+    (`conv3_mxu`) re-derives the split from the actual compute dtype."""
+    if not _shape_ok(shape, cin, cout):
         return False
+    allow = os.environ.get("HP_CONV3MXU_CIN", "")
+    if allow and str(cin) not in allow.split(","):
+        return False
+    sw = 2 * cout if cin == 64 else cout
     ns = _cout_split(cin, cout, sw, 4)
     if ns > 1 and os.environ.get("HP_CONV3MXU_C512", "0") != "1":
         # Split shapes (layer-4 c512) stay off the production routing until
@@ -368,7 +374,14 @@ def _conv3_mxu_jit(x: jax.Array, k: jax.Array,
     b, d, h, w, cin = x.shape
     cout = k.shape[-1]
     assert k.shape[:3] == (3, 3, 3) and k.shape[3] == cin
-    assert conv3mxu_supported(x.shape, cin, cout), (x.shape, cin, cout)
+    # Mechanical check only: slices arrive here from conv3_mxu's C_out
+    # split already under the VMEM budget for the ACTUAL compute dtype;
+    # re-applying the router gate (f32 item size + HP_CONV3MXU_C512 env)
+    # wrongly rejected bf16 c512 halves (tpu_jobs/129f).
+    _isz = 4 if cdt in ("f32", "float32") else 2
+    _sw = 2 * cout if cin == 64 else cout
+    assert _shape_ok(x.shape, cin, cout) and _cout_split(
+        cin, cout, _sw, _isz) == 1, (x.shape, cin, cout, cdt)
     cd = jnp.float32 if cdt in ("f32", "float32") else jnp.bfloat16
     isz = jnp.dtype(cd).itemsize
 

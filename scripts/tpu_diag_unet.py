@@ -55,7 +55,10 @@ def main():
         _sync(out)
 
     paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
 
     for p in paths:
         xs = xplane_pb2.XSpace()
