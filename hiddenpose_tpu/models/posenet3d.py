@@ -31,6 +31,24 @@ Dtype = Any
 deconv_init = nn.initializers.normal(stddev=0.001)
 
 
+def _pin_row_major(x):
+    """Optional layout constraint (HP_LAYOUT_PIN=1) pinning a value to the
+    row-major layout Pallas custom calls use.  Round-4's copy census
+    (tpu_jobs/127) measured 37 layout-assignment conversions at the
+    custom-call boundaries of the full-routed forward and concluded "JAX
+    exposes no per-op layout control" — jax 0.9 does
+    (`jax.experimental.layout.with_layout_constraint`); this probes whether
+    XLA's conv/pool emitters can produce row-major directly (conversion
+    disappears) or just relocate the copy (no-op).  Off by default."""
+    import os
+
+    if os.environ.get("HP_LAYOUT_PIN", "0") != "1":
+        return x
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    return with_layout_constraint(x, Layout(tuple(range(x.ndim))))
+
+
 class FastConv(nn.Module):
     """nn.Conv-compatible 3D conv (torch k//2 padding, no bias) routed
     through the MXU-friendly reformulations of `ops/conv3d_fast.py`.
@@ -71,6 +89,12 @@ class FastConv(nn.Module):
         )
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
+        # Probe knob (HP_LAYOUT_PIN=1, full/island routes only): pin every
+        # FastConv boundary value row-major so XLA's own convs between
+        # Pallas islands emit the custom-call layout directly instead of
+        # paying a conversion copy per boundary — see _pin_row_major.
+        pin = _pin_row_major if route in ("full", "island") else (lambda v: v)
+        x = pin(x)
 
         def epilogue(y):
             if scale is not None:
@@ -98,8 +122,9 @@ class FastConv(nn.Module):
                 if route in ("full", "island"):
                     if scale is not None or relu:
                         # Fused-epilogue form is inference-only (no VJP).
-                        return conv3_mxu(x, kernel, scale, shift, relu=relu)
-                    return conv3_mxu_diff(x, kernel)
+                        return pin(conv3_mxu(x, kernel, scale, shift,
+                                             relu=relu))
+                    return pin(conv3_mxu_diff(x, kernel))
                 if scale is None and not relu:
                     # 'bwd': native forward, Pallas dx (the composed-model
                     # optimum — tpu_jobs/116-118).  A fused-epilogue
@@ -112,7 +137,7 @@ class FastConv(nn.Module):
             # doesn't admit) lower as tap matmuls at default layout instead
             # of XLA convs whose channel-major layout choice charges
             # boundary copies (round-4 census, tpu_jobs/127).
-            return epilogue(conv3x3x3_taps_mm(x, kernel, self.stride))
+            return pin(epilogue(conv3x3x3_taps_mm(x, kernel, self.stride)))
         modes = fast_modes()
         if k == 1 and (self.prefer_mm or route == "island" or "mm" in modes):
             # dot_general wants the DEFAULT layout, same as a Pallas
@@ -122,13 +147,13 @@ class FastConv(nn.Module):
             # full-activation copy at EVERY kernel boundary (+14 copies /
             # +15 ms on the b2 128^3 forward, tpu_jobs/109-110) — so the
             # block owner sets prefer_mm whenever it routes its conv2.
-            return epilogue(conv1x1x1_mm(x, kernel, self.stride))
+            return pin(epilogue(conv1x1x1_mm(x, kernel, self.stride)))
         if k == 3 and "d2d" in modes:
-            return epilogue(conv3x3x3_d2d(x, kernel, self.stride))
-        return epilogue(conv_acc32(
+            return pin(epilogue(conv3x3x3_d2d(x, kernel, self.stride)))
+        return pin(epilogue(conv_acc32(
             x, kernel, (self.stride,) * 3, ((k // 2, k // 2),) * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        ).astype(self.dtype))
+        ).astype(self.dtype)))
 
 
 class FastDeconv(nn.Module):

@@ -33,6 +33,7 @@ passed straight through `jax.jit` boundaries.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -132,11 +133,22 @@ def embed_time_window(
 
 
 def _resample(mat: jax.Array, x: jax.Array) -> jax.Array:
-    """(M, M) @ (B, M, H, W) over the time axis — one MXU matmul."""
+    """(M, M) @ (B, M, H, W) over the time axis — one MXU matmul.
+
+    Precision: HP_LCT_PREC ('default' | 'high' | 'highest', read at trace
+    time).  At JAX's default matmul precision the TPU runs ONE bf16 pass —
+    8 mantissa bits against the huge dynamic range the z^4 falloff leaves
+    in the histogram, in the physics layer every downstream stage consumes
+    (and in its transpose, every gradient).  These two M x M matmuls are
+    ~0.1% of the step FLOPs, so 'highest' costs nothing measurable; the
+    round-5 attribution (tpu_jobs/135a) decides the default.
+    """
     b, t, h, w = x.shape
+    prec = os.environ.get("HP_LCT_PREC", "default")
     y = jnp.einsum(
         "ij,bjk->bik", mat, x.reshape(b, t, h * w),
         preferred_element_type=jnp.float32,
+        precision=None if prec in ("", "default") else prec,
     )
     return y.reshape(b, t, h, w)
 
