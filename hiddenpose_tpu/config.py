@@ -125,6 +125,14 @@ class TrainConfig:
     step_before_epoch: bool = True
     loss_type: str = "L2JointLocationLoss"
     label_smoothing: float = 0.2
+    # MXU pass count for every matmul/conv in the train step ('default' |
+    # 'high' | 'highest').  'default' = one bf16 pass per f32 matmul;
+    # round-5 measured it costing real model quality on this recipe while
+    # 'highest' is ~3.5x step time (tpu_jobs/129cb, 135a, BENCH_NOTES
+    # "Precision IS the learning-gap driver").  Kept at 'default' for
+    # throughput parity with the recorded benchmarks; flip to 'high'/
+    # 'highest' for quality-critical runs.
+    matmul_precision: str = "default"
 
 
 @dataclass(frozen=True)

@@ -120,7 +120,10 @@ def train(
         lct = replicate(mesh, lct)
         logger.info(f"data-parallel mesh over {mesh.devices.size} devices")
 
-    train_step = make_train_step(model)
+    train_step = make_train_step(
+        model,
+        matmul_precision=getattr(cfg.train, "matmul_precision", "default"),
+    )
 
     begin_time = time.time()
     metrics = {}

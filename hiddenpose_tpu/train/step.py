@@ -27,8 +27,18 @@ Batch = Dict[str, jax.Array]
 #               joints (B, J*3), joints_vis (B, J*3)
 
 
-def make_train_step(model: NlosPose, donate: bool = True):
-    """Returns train_step(state, batch, lct) -> (state, metrics)."""
+def make_train_step(model: NlosPose, donate: bool = True,
+                    matmul_precision: str = "default"):
+    """Returns train_step(state, batch, lct) -> (state, metrics).
+
+    ``matmul_precision`` ('default' | 'high' | 'highest',
+    cfg.train.matmul_precision) sets the MXU pass count for every
+    matmul/conv traced into the step.  At 'default' the TPU runs ONE
+    bf16 pass per f32 matmul; round-5 measured that this costs real
+    model quality on this recipe (identical data/init/order, 2 epochs:
+    ep1 loss 1513 at default vs 583 at highest — tpu_jobs/129cb, 135a)
+    while 'highest' costs ~3.5x step time.  The LCT resampling matmuls
+    have their own near-free knob (HP_LCT_PREC, ops/lct.py)."""
 
     def train_step(
         state: TrainState, batch: Batch, lct: LCTParams
@@ -48,9 +58,11 @@ def make_train_step(model: NlosPose, donate: bool = True):
             loss = joint_loss + voxel_loss
             return loss, (mutated["batch_stats"], joint_loss, voxel_loss)
 
-        (loss, (new_bs, joint_loss, voxel_loss)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        # The context applies at trace time (inside jit it wraps the
+        # primitive binds of the whole fwd+bwd program).
+        with jax.default_matmul_precision(matmul_precision):
+            (loss, (new_bs, joint_loss, voxel_loss)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params))
         new_state = state.apply_gradients(grads, new_bs)
         metrics = {
             "loss": loss,

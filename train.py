@@ -39,6 +39,12 @@ def parse_args():
                         "the reference; auto-lowered for short runs)")
     p.add_argument("--size", type=int, default=128,
                    help="grid size (128 = reference config)")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=("default", "high", "highest"),
+                   help="MXU matmul precision for the train step "
+                        "(cfg.train.matmul_precision; 'default' = one bf16 "
+                        "pass — fastest; 'highest' trains measurably better "
+                        "on this recipe at ~3.5x step cost, BENCH_NOTES)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (coordinator/process "
                         "config via HP_COORDINATOR/HP_NUM_PROCESSES/"
@@ -77,6 +83,8 @@ def main():
         tr["end_epoch"] = args.epochs
     if args.batch_size is not None:
         tr["batch_size"] = args.batch_size
+    if args.precision is not None:
+        tr["matmul_precision"] = args.precision
     if tr:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, **tr))
     if args.data:
