@@ -60,10 +60,17 @@ def main():
         if os.path.exists(os.path.join(JOBS, "STOP")):
             print("[worker] STOP sentinel — exiting", flush=True)
             return
-        for f in sorted(glob.glob(os.path.join(JOBS, "*.py"))):
+        # Re-glob every iteration and take ONE job: a job submitted while
+        # another runs must still win on filename order (the old
+        # run-the-whole-snapshot loop deferred newly-added earlier names
+        # until the pass ended — hours behind a queued sweep), and STOP
+        # must be honored between jobs, not between passes.
+        pending = [
+            f for f in sorted(glob.glob(os.path.join(JOBS, "*.py")))
+            if not os.path.exists(f[:-3] + ".done")
+        ]
+        for f in pending[:1]:
             base = f[:-3]
-            if os.path.exists(base + ".done"):
-                continue
             print(f"[worker] running {f}", flush=True)
             # Fresh hiddenpose source per job (jobs edit the package
             # between submissions); jax/flax stay warm.

@@ -33,6 +33,14 @@ def parse_args():
                    choices=("nlospose", "sformer"),
                    help="model family for test_realdata: the heatmap "
                         "pipeline or NlosPoseSformer (BASELINE config[3])")
+    p.add_argument("--dtype", type=str, default=None,
+                   choices=("float32", "bfloat16"),
+                   help="activation dtype override.  Default: float32 for "
+                        "the heatmap pipeline (parity path), bfloat16 for "
+                        "the Sformer serving variant (1.55x — 161.8 ms vs "
+                        "251.0 per capture, head-output rel err 5.9e-3 vs "
+                        "f32 which itself runs bf16 MXU passes; "
+                        "tpu_jobs/129i)")
     return p.parse_args()
 
 
@@ -89,6 +97,10 @@ def main():
             test_path=args.data or cfg.dataset.test_path,
         ),
     )
+    if args.dtype:  # heatmap pipeline stays float32 unless asked
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, compute_dtype=args.dtype))
     model, lct = build_nlospose(cfg.model)
     state = _load_state(args, cfg, model, lct)
     eval_step = make_eval_step(model)
@@ -115,12 +127,16 @@ def main():
         via per-axis SimDR soft-argmax (the reference leaves its output
         head unwired — research code; decode documented in
         ops/softargmax.simdr_decode)."""
+        import dataclasses
+
         import jax
 
         from hiddenpose_tpu.models.sformer import sformer_from_config
         from hiddenpose_tpu.ops.softargmax import simdr_decode
 
-        sf = sformer_from_config(cfg.model)
+        mcfg = dataclasses.replace(
+            cfg.model, compute_dtype=args.dtype or "bfloat16")
+        sf = sformer_from_config(mcfg)
         video = jnp.asarray(meas_thw[None, :, None].astype(np.float32))
         variables = sf.init(jax.random.PRNGKey(cfg.train.seed), video)
         out = jax.jit(sf.apply)(variables, video)
