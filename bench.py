@@ -273,6 +273,25 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
         tsec = time_train_step(max(3, iters // 2))
         res["train_sec_per_step"] = tsec
         res["train_volumes_per_sec"] = round(batch / tsec, 4)
+    # ... and the Sformer realdata serving rate (BASELINE config[3]) at
+    # its serving defaults (fused VMEM attention + bf16 activations —
+    # tpu_jobs/129d/129i).  HP_BENCH_SFORMER=0 opts out.
+    if (os.environ.get("HP_BENCH_SFORMER", "1") != "0" and size == 128
+            and jax.default_backend() != "cpu"):
+        import dataclasses
+
+        from hiddenpose_tpu.models.sformer import sformer_from_config
+
+        mcfg = dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+        sf = sformer_from_config(mcfg)
+        video = jnp.asarray(
+            np.random.RandomState(0).rand(1, size, 1, size, size),
+            jnp.float32,
+        )
+        sv = jax.jit(sf.init)(jax.random.PRNGKey(410), video)
+        sfn = jax.jit(lambda p, x: sf.apply(p, x))
+        ssec = _timeit(lambda: sfn(sv, video), max(3, iters // 2))
+        res["sformer_captures_per_sec"] = round(1.0 / ssec, 2)
     return res
 
 

@@ -64,9 +64,13 @@ def attend_fused_supported(q_shape, k_shape) -> bool:
 
 
 def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, lk: int):
+    from hiddenpose_tpu.ops.pallas.conv3p import kernel_dot_precision
+
+    prec = kernel_dot_precision()  # Mosaic rejects an ambient HIGH
     q = q_ref[0]                       # (lq_blk, dh)
     kt = kt_ref[0]                     # (dh, lkp)
-    sim = jnp.dot(q, kt, preferred_element_type=jnp.float32)
+    sim = jnp.dot(q, kt, preferred_element_type=jnp.float32,
+                  precision=prec)
     lane = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
     sim = jnp.where(lane < lk, sim, -jnp.inf)
     m = jnp.max(sim, axis=1, keepdims=True)
@@ -75,6 +79,7 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, lk: int):
     o_ref[0] = jnp.dot(
         attn.astype(v_ref.dtype), v_ref[0],
         preferred_element_type=jnp.float32,
+        precision=prec,
     ).astype(o_ref.dtype)
 
 

@@ -62,6 +62,25 @@ def on_tpu_default_device() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def kernel_dot_precision():
+    """Precision for dots INSIDE Pallas kernels, honoring the ambient
+    `jax.default_matmul_precision` without crashing Mosaic.
+
+    Mosaic lowers only DEFAULT (one bf16 pass) and HIGHEST (multi-pass);
+    an ambient 'high' context leaking into an unqualified in-kernel
+    jnp.dot raises `NotImplementedError: Unsupported dot precision: HIGH`
+    at trace time (hit by the round-5 precision attribution, tpu_jobs/
+    135a — a user running the model under `with
+    jax.default_matmul_precision('high')` would crash the same way).
+    Resolved at kernel-trace time: high/highest/float32 escalate to
+    HIGHEST (the quality the caller asked for), everything else pins
+    DEFAULT (the kernels' documented bf16-pass contract)."""
+    amb = jax.config.jax_default_matmul_precision
+    if amb in ("high", "highest", "float32", "tensorfloat32"):
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def pallas_enabled() -> bool:
     """Module gate for the hardware kernels: on-TPU AND not disabled via
     HP_NO_PALLAS=1 (diagnostic A/B switch; read at trace time)."""

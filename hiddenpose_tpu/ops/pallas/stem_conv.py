@@ -113,7 +113,10 @@ def _stem_kernel(x_hbm, kt_ref, scale_ref, bias_ref, o_ref, x_tile, patches,
             # ~0.4% rel error — the same trade XLA's default-precision
             # convs make everywhere else in the network.
             cols = cols.astype(jnp.bfloat16)
-        out = jnp.dot(kt, cols, preferred_element_type=jnp.float32)
+        from hiddenpose_tpu.ops.pallas.conv3p import kernel_dot_precision
+
+        out = jnp.dot(kt, cols, preferred_element_type=jnp.float32,
+                      precision=kernel_dot_precision())
         out = out * scale_ref[:, 0:1] + bias_ref[:, 0:1]
         if relu:
             out = jnp.maximum(out, 0.0)
