@@ -11,7 +11,8 @@ image; north-star target is >=10x per chip).
 Env knobs: HP_BENCH_BATCH (default 2), HP_BENCH_SIZE (default 128),
 HP_BENCH_ITERS (default 10), HP_BENCH_MODE (default 'infer'; 'train' times
 the full jitted train step, 'lct' times the standalone reconstruction
-kernel — BASELINE configs[1,4]).  The default 'infer' run ALSO times the
+kernel — BASELINE configs[1,4]; 'serve' floods the batched-queue
+inference server, hiddenpose_tpu/serve.py — pair with HP_BENCH_BATCH=8).  The default 'infer' run ALSO times the
 jitted train step and adds `train_volumes_per_sec` to the JSON line
 (HP_BENCH_TRAIN=0 to skip), so both headline numbers are driver-captured.
 """
@@ -79,6 +80,42 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
         sec = _timeit(lambda: f(meas, params), iters)
         return dict(metric=f"lct_{size}^3_b{batch}", sec_per_iter=sec,
                     volumes_per_sec=batch / sec)
+
+    if mode == "serve":
+        # Batched-queue serving throughput (hiddenpose_tpu/serve.py): an
+        # open-loop flood of single-capture requests through the server's
+        # fixed-batch program, then one closed-loop client for the
+        # per-request latency floor.  HP_BENCH_BATCH=8 + bf16 is the
+        # measured-optimal operating point (135c sweep).
+        from hiddenpose_tpu.serve import InferenceServer
+
+        scfg = default_config().preset_t128() if size == 128 else \
+            default_config().tiny(size)
+        dt = os.environ.get("HP_BENCH_DTYPE", "bfloat16")
+        dt = "bfloat16" if dt in ("bf16", "bfloat16") else "float32"
+        srv = InferenceServer(scfg, batch_size=batch, dtype=dt,
+                              max_wait_ms=5.0)
+        srv.warmup()
+        vols = [rng.rand(1, size, size, size).astype(np.float32)
+                for _ in range(4)]
+        n = max(iters, 8) * batch
+        t0 = time.perf_counter()
+        futs = [srv.submit(vols[i % len(vols)]) for i in range(n)]
+        for f in futs:
+            f.result()
+        wall = time.perf_counter() - t0
+        lats = []
+        for i in range(10):
+            t1 = time.perf_counter()
+            srv.infer(vols[i % len(vols)])
+            lats.append(time.perf_counter() - t1)
+        lats.sort()
+        st = srv.stats()
+        srv.close()
+        return dict(metric=f"serve_{size}^3_b{batch}_{dt}",
+                    sec_per_iter=wall / n, volumes_per_sec=n / wall,
+                    mean_fill=round(st["mean_fill"], 3),
+                    p50_latency_ms=round(lats[len(lats) // 2] * 1000, 2))
 
     cfg = default_config().preset_t128() if size == 128 else \
         default_config().tiny(size)

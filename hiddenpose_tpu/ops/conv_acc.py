@@ -45,6 +45,15 @@ def bwd_cast_dtype(dtype) -> jnp.dtype:
         return jnp.float32
     from hiddenpose_tpu.ops.pallas.conv3p import on_tpu_default_device
 
+    # NOT flipped by an ambient high/highest matmul precision, unlike the
+    # conv3mxu kernel compute dtype (conv3mxu.resolve_compute_dtype):
+    # keeping f32 operands through the stem VJP doubles its padded
+    # backward buffers in HBM and OOMs the t128 b2 train step outright —
+    # measured 17.27G of 15.75G, +20 pad_slice_fusion allocations at
+    # 256M apiece (tpu_jobs/137 B).  Quality-mode users who fit a smaller
+    # config can still pin HP_BWD_CAST=f32; the default quality mode
+    # accepts this one bf16 island (operands only — accumulation is f32
+    # everywhere) as the price of fitting on-chip.
     return jnp.bfloat16 if on_tpu_default_device() else jnp.float32
 
 

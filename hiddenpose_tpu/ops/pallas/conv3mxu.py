@@ -342,7 +342,7 @@ def conv3_mxu(x: jax.Array, k: jax.Array,
     on the channel axis — numerics are identical (each output channel's
     arithmetic is untouched by the split)."""
     if compute_dtype is None:
-        compute_dtype = os.environ.get("HP_CONV3MXU_DT", "bf16")
+        compute_dtype = resolve_compute_dtype()
     cin, cout = k.shape[3], k.shape[4]
     isz = 4 if compute_dtype in ("f32", "float32") else 2
     sw = 2 * cout if cin == 64 else cout
@@ -587,6 +587,27 @@ def _conv3_bwd(res, dy):
 
 conv3_mxu_diff.defvjp(_conv3_fwd, _conv3_bwd)
 conv3_mxu_bwd_diff.defvjp(_conv3b_fwd, _conv3_bwd)
+
+
+def resolve_compute_dtype() -> str:
+    """Kernel compute dtype when the caller didn't pin one.
+
+    HP_CONV3MXU_DT wins.  Otherwise: quality consistency — under an
+    ambient high/highest matmul precision (cfg.train.matmul_precision,
+    the measured learning-quality knob, tpu_jobs/135a) every XLA conv in
+    the program runs the multi-pass f32 decomposition, so the kernel must
+    not silently stay a one-pass bf16 island inside a quality-mode
+    program; 'f32' engages the 3-pass HIGHEST tap-slab matmuls (dx rel
+    err 7.9e-7 vs HIGHEST autodiff, tpu_jobs/135b).  Resolved at trace
+    time, like the routing itself."""
+    forced = os.environ.get("HP_CONV3MXU_DT", "")
+    if forced:
+        return forced
+    from hiddenpose_tpu.ops.pallas.conv3p import kernel_dot_precision
+
+    if kernel_dot_precision() == jax.lax.Precision.HIGHEST:
+        return "f32"
+    return "bf16"
 
 
 def conv3mxu_enabled() -> bool:

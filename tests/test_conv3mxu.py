@@ -282,3 +282,36 @@ def test_bottleneck_bwd_route_grads_match(monkeypatch):
     for got, want in zip(jax.tree_util.tree_leaves(g_routed),
                          jax.tree_util.tree_leaves(g_base)):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_quality_mode_compute_dtype(monkeypatch):
+    """Ambient high/highest matmul precision flips the kernel's default
+    compute dtype to f32 (quality consistency: the kernel must not stay a
+    one-pass bf16 island inside a quality-mode program); HP_CONV3MXU_DT
+    still wins when pinned."""
+    from hiddenpose_tpu.ops.pallas.conv3mxu import resolve_compute_dtype
+
+    monkeypatch.delenv("HP_CONV3MXU_DT", raising=False)
+    assert resolve_compute_dtype() == "bf16"
+    with jax.default_matmul_precision("highest"):
+        assert resolve_compute_dtype() == "f32"
+    with jax.default_matmul_precision("high"):
+        assert resolve_compute_dtype() == "f32"
+    monkeypatch.setenv("HP_CONV3MXU_DT", "bf16")
+    with jax.default_matmul_precision("highest"):
+        assert resolve_compute_dtype() == "bf16"
+
+
+def test_quality_mode_bwd_cast(monkeypatch):
+    """The stem/deconv custom-VJP operand cast is NOT flipped by ambient
+    precision (f32 operands OOM the t128 b2 backward — tpu_jobs/137 B);
+    only the explicit HP_BWD_CAST override moves it."""
+    from hiddenpose_tpu.ops.conv_acc import bwd_cast_dtype
+
+    monkeypatch.setenv("HP_BWD_CAST", "bf16")
+    with jax.default_matmul_precision("highest"):
+        assert bwd_cast_dtype(jnp.float32) == jnp.bfloat16
+    monkeypatch.setenv("HP_BWD_CAST", "f32")
+    assert bwd_cast_dtype(jnp.float32) == jnp.float32
+    monkeypatch.delenv("HP_BWD_CAST", raising=False)
+    assert bwd_cast_dtype(jnp.bfloat16) == jnp.bfloat16
