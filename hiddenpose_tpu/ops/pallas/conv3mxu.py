@@ -633,4 +633,27 @@ def conv3mxu_route() -> str:
     models/posenet3d.py)."""
     if not conv3mxu_enabled():
         return ""
-    return os.environ.get("HP_CONV3MXU_ROUTE", "bwd")
+    return _route_policy()
+
+
+def _route_policy() -> str:
+    """Route default, separated from the device gate for CPU testability.
+
+    HP_CONV3MXU_ROUTE wins.  Otherwise 'bwd' (the measured composed
+    optimum at default precision) — EXCEPT under an ambient high/highest
+    matmul precision, where the economics flip: every XLA conv runs the
+    multi-pass f32 decomposition (quality-mode train step 1399 ms vs
+    374 ms default — tpu_jobs/137), so the kernel's fixed layout-boundary
+    cost is charged against a ~3.5x-slower baseline and the full route
+    wins the composed TRAIN step: base 1399 / bwd-f32 1006 / full-f32
+    935.5 ms (1.50x, identical loss; tpu_jobs/138).  The quality-mode
+    forward is a wash within the relay's ±15% run-to-run band (138's
+    interleaved probe: base 321-413 ms vs full 358-409 ms)."""
+    r = os.environ.get("HP_CONV3MXU_ROUTE", "")
+    if r:
+        return r
+    from hiddenpose_tpu.ops.pallas.conv3p import kernel_dot_precision
+
+    if kernel_dot_precision() == jax.lax.Precision.HIGHEST:
+        return "full"
+    return "bwd"

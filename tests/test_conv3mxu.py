@@ -315,3 +315,18 @@ def test_quality_mode_bwd_cast(monkeypatch):
     assert bwd_cast_dtype(jnp.float32) == jnp.float32
     monkeypatch.delenv("HP_BWD_CAST", raising=False)
     assert bwd_cast_dtype(jnp.bfloat16) == jnp.bfloat16
+
+
+def test_quality_mode_route_policy(monkeypatch):
+    """Under ambient high/highest precision the default route flips to
+    'full' (measured composed-train optimum in quality mode, 1.50x over
+    all-XLA — tpu_jobs/138); the env override always wins."""
+    from hiddenpose_tpu.ops.pallas.conv3mxu import _route_policy
+
+    monkeypatch.delenv("HP_CONV3MXU_ROUTE", raising=False)
+    assert _route_policy() == "bwd"
+    with jax.default_matmul_precision("highest"):
+        assert _route_policy() == "full"
+    monkeypatch.setenv("HP_CONV3MXU_ROUTE", "bwd")
+    with jax.default_matmul_precision("highest"):
+        assert _route_policy() == "bwd"
