@@ -138,6 +138,11 @@ class InferenceServer:
         self.submit(z).result()
 
     def stats(self) -> Dict[str, float]:
+        """Counters + derived rates.  `volumes_per_sec` is a conservative
+        lower bound under load: per-batch times are launch→fetch spans,
+        which overlap across the one-deep pipeline, so their sum exceeds
+        wall time — measure externally (bench.py serve mode) for the true
+        wall-clock throughput."""
         with self._lock:
             s = dict(self._stats)
         s["mean_fill"] = (
@@ -176,10 +181,15 @@ class InferenceServer:
         deadline = time.perf_counter() + self.max_wait
         while len(reqs) < self.batch_size:
             left = deadline - time.perf_counter()
-            if left <= 0:
-                break
             try:
-                nxt = self._q.get(timeout=left)
+                # Past the deadline, still DRAIN whatever is already
+                # queued (get_nowait) — flushing a half-empty batch while
+                # requests sit in the queue costs a whole extra program
+                # run (measured: mean_fill 0.49 under open-loop flood
+                # before this, tpu_jobs/139).  The deadline only bounds
+                # how long we wait for requests that haven't arrived.
+                nxt = (self._q.get(timeout=left) if left > 0
+                       else self._q.get_nowait())
             except queue.Empty:
                 break
             if nxt is _STOP:
@@ -187,21 +197,38 @@ class InferenceServer:
             reqs.append(nxt)
         return reqs, False
 
-    def _serve_batch(self, reqs: List) -> None:
-        n = len(reqs)
-        meas = np.stack(
-            [m for m, _ in reqs]
-            + [reqs[-1][0]] * (self.batch_size - n)
-        )
-        t0 = time.perf_counter()
+    def _launch(self, reqs: List, t0: float):
+        """Dispatch one padded batch to the device WITHOUT a host sync —
+        JAX dispatch is async, so the transfer + program for batch N+1
+        queue up behind batch N and the device never idles while the
+        pump is fetching N's results (one-deep pipeline; the
+        host→device input transfer is the dominant per-batch cost on a
+        tunneled device).  Returns (reqs, device_output, t0); raises are
+        converted to resolved-with-exception futures and None."""
         try:
+            meas = np.stack(
+                [m for m, _ in reqs]
+                + [reqs[-1][0]] * (self.batch_size - len(reqs))
+            )
             joints, _ = self._forward(
                 self.variables, jnp.asarray(meas), self.lct
             )
+            return reqs, joints, t0
+        except Exception as e:  # trace/compile/transfer failures
+            with self._lock:
+                self._stats["errors"] += 1
+            for _, fut in reqs:
+                fut.set_exception(e)
+            return None
+
+    def _resolve(self, pending) -> None:
+        reqs, joints, t0 = pending
+        n = len(reqs)
+        try:
             joints = np.asarray(joints, np.float32)  # host fetch = fence
             # (B, J*3) flat (x,y,z) triplets (ops/softargmax.py) -> (B, J, 3)
             joints = joints.reshape(self.batch_size, -1, 3)
-        except Exception as e:  # compile/transfer failures -> callers
+        except Exception as e:  # execution failures surface at the fetch
             with self._lock:
                 self._stats["errors"] += 1
             for _, fut in reqs:
@@ -217,25 +244,57 @@ class InferenceServer:
             fut.set_result({"joints": joints[i]})
 
     def _run(self) -> None:
-        while True:
-            reqs, stop = self._collect()
-            if reqs:
-                self._serve_batch(reqs)
-            if stop:
-                # resolve anything still queued after close()
-                while True:
-                    try:
-                        item = self._q.get_nowait()
-                    except queue.Empty:
-                        return
-                    if item is _STOP:
-                        continue
-                    reqs = [item]
+        pending = None
+        stop = False
+        while not stop:
+            if pending is None:
+                reqs, stop = self._collect()
+            else:
+                # Work in flight: grab another batch if requests are
+                # already waiting, else resolve the in-flight one first
+                # (never block on an empty queue while results are ready).
+                try:
+                    first = self._q.get_nowait()
+                except queue.Empty:
+                    first = None
+                if first is _STOP:
+                    reqs, stop = [], True
+                elif first is None:
+                    reqs = []
+                else:
+                    reqs = [first]
                     while len(reqs) < self.batch_size:
                         try:
                             nxt = self._q.get_nowait()
                         except queue.Empty:
                             break
-                        if nxt is not _STOP:
-                            reqs.append(nxt)
-                    self._serve_batch(reqs)
+                        if nxt is _STOP:
+                            stop = True
+                            break
+                        reqs.append(nxt)
+            launched = self._launch(reqs, time.perf_counter()) if reqs \
+                else None
+            if pending is not None:
+                self._resolve(pending)
+            pending = launched
+        if pending is not None:
+            self._resolve(pending)
+        # resolve anything still queued after close()
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is _STOP:
+                continue
+            reqs = [item]
+            while len(reqs) < self.batch_size:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is not _STOP:
+                    reqs.append(nxt)
+            launched = self._launch(reqs, time.perf_counter())
+            if launched is not None:
+                self._resolve(launched)
