@@ -104,13 +104,16 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
         for f in futs:
             f.result()
         wall = time.perf_counter() - t0
+        # Snapshot fill BEFORE the latency loop — its 10 single-request
+        # batches would otherwise drag the cumulative mean_fill down
+        # (tpu_jobs/140: 0.49 was this artifact, the flood itself packs).
+        st = srv.stats()
         lats = []
         for i in range(10):
             t1 = time.perf_counter()
             srv.infer(vols[i % len(vols)])
             lats.append(time.perf_counter() - t1)
         lats.sort()
-        st = srv.stats()
         srv.close()
         return dict(metric=f"serve_{size}^3_b{batch}_{dt}",
                     sec_per_iter=wall / n, volumes_per_sec=n / wall,
@@ -171,7 +174,12 @@ def run_bench(mode: str, size: int, batch: int, iters: int) -> dict:
             "joints": jnp.asarray((rng.rand(batch, 72) * h).astype(np.float32)),
             "joints_vis": jnp.ones((batch, 72), jnp.float32),
         }
-        step_fn = make_train_step(model, donate=False)
+        # HP_BENCH_PRECISION=highest reproduces the quality-mode train
+        # number (the MXU conv kernels auto-route full/f32 there —
+        # BENCH_NOTES "Quality-mode conv routing").
+        step_fn = make_train_step(
+            model, donate=False,
+            matmul_precision=os.environ.get("HP_BENCH_PRECISION", "default"))
         return _timeit(lambda: step_fn(state, batch_data, lct)[1], train_iters)
 
     if mode == "train":

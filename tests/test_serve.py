@@ -104,3 +104,21 @@ def test_close_drains_and_rejects():
     with pytest.raises(RuntimeError):
         srv.submit(_meas(0))
     srv.close()  # idempotent
+
+
+def test_bf16_server_transfer_dtype():
+    """A bf16 server casts requests to bf16 on host before the device
+    transfer (the wire cost halves; the model casts activations anyway)
+    and still returns finite f32 joints."""
+    import jax.numpy as jnp2
+
+    srv = InferenceServer(
+        CFG, batch_size=2, dtype="bfloat16", max_wait_ms=1.0, rng_seed=7
+    )
+    try:
+        assert srv._transfer_dtype == jnp2.bfloat16
+        out = srv.infer(_meas(42))
+        assert out["joints"].dtype == np.float32
+        assert np.isfinite(out["joints"]).all()
+    finally:
+        srv.close()
