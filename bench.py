@@ -390,7 +390,9 @@ def main():
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }
-    for k in ("p50_latency_ms", "p90_latency_ms", "train_volumes_per_sec"):
+    for k in ("p50_latency_ms", "p90_latency_ms", "train_volumes_per_sec",
+              "bf16_volumes_per_sec", "serving_bf16_b8_volumes_per_sec",
+              "sformer_captures_per_sec", "mean_fill"):
         if k in res:
             out[k] = res[k]
     print(json.dumps(out))
