@@ -101,6 +101,30 @@ def _db_enabled() -> bool:
     return os.environ.get("HP_CONV3P_DB", "1") != "0"
 
 
+def _kdma_enabled() -> bool:
+    """Gate for kernel-side depth halos in the double-buffered kernels
+    (round-5 VERDICT #2: absorb the halo extraction into the kernels).
+
+    The db kernels historically required the wrapper to materialise a
+    depth-halo-padded COPY of the activation (one XLA pad per call — a
+    full HBM write+read of every conv/adjoint/wgrad operand, the
+    'halo slice-start pairs' of the round-4 UNet-grad profile).  With
+    kdma the prefetched DMA itself carries first/interior/last branches
+    reading the unpadded tensor (the conv3mxu pattern) and the boundary
+    planes are filled in-scratch, so the host copy disappears.  Read at
+    trace time; HP_CONV3P_KDMA=0 restores the host-pad path.
+
+    Default ON: on-chip validation (scripts/tpu_validate_kdma.py,
+    tpu_jobs/1515-1516) measured bit-exactness at every model shape and
+    wins across the board — standalone up to 1.83x (stem-shape wgrad
+    4.17 -> 2.28 ms, fwd 2.62 -> 1.54 ms), composed UNet grad
+    44.2 -> 42.1 ms, full infer 29.20 -> 29.72 vol/s, train
+    5.36 -> 5.38 vol/s."""
+    import os
+
+    return os.environ.get("HP_CONV3P_KDMA", "1") == "1"
+
+
 def _make_masks(h, w, wl, pad_mode):
     """Boundary masks, built ONCE per kernel invocation (a fresh iota per
     shift measurably slows Mosaic's generated code).
@@ -265,47 +289,122 @@ def _conv3p_kernel(x_hbm, k_ref, aff_ref, r_hbm, o_ref, x_tile, r_tile,
     jax.lax.fori_loop(0, td, body, 0)
 
 
+def _db_fill_halo(x_tile, soff, i, cin, td, nd, h, w, pad_mode):
+    """Fill the boundary halo plane(s) of the consumed slot in-scratch
+    (kdma mode): plane soff+0 on the first depth tile, soff+td+1 on the
+    last — zero fill, or a copy of the adjacent real plane for 'edge'.
+    Runs after the slot's DMA wait and BEFORE any fused pre-affine, so the
+    semantics match the host-pad prolog exactly."""
+
+    def _front():
+        for ci in range(cin):
+            x_tile[ci, pl.ds(soff, 1)] = (
+                x_tile[ci, pl.ds(soff + 1, 1)] if pad_mode == "edge"
+                else jnp.zeros((1, h, w), jnp.float32))
+
+    def _back():
+        for ci in range(cin):
+            x_tile[ci, pl.ds(soff + td + 1, 1)] = (
+                x_tile[ci, pl.ds(soff + td, 1)] if pad_mode == "edge"
+                else jnp.zeros((1, h, w), jnp.float32))
+
+    if nd == 1:
+        _front()
+        _back()
+    else:
+        pl.when(i == 0)(_front)
+        pl.when(i == nd - 1)(_back)
+
+
 def _conv3p_kernel_db(x_hbm, k_ref, aff_ref, r_hbm, o_ref, x_tile, r_tile,
                       sems, sem_r, *, cin, cout, td, nd, h, w, wl, act,
-                      pad_mode, has_residual, pre_relu):
+                      pad_mode, has_residual, pre_relu, kdma):
     """Double-buffered `_conv3p_kernel` (round-3 VERDICT #5).
 
-    The input arrives depth-halo-padded HOST-side (D+2 planes, pad-mode
-    semantics applied by the wrapper), so every grid step issues ONE
-    fixed-shape DMA — no boundary branches, no fill stores — and the NEXT
-    step's tile is prefetched while the current tile computes.  The two
-    buffer slots live along the plane axis of one 4D scratch
-    ((cin, 2*(td+2), h, w)): slot parity follows the flattened grid index,
-    and all slot addressing is a single dynamic `pl.ds` on the second-major
-    dim (the 5D-ref dynamic-slice Mosaic bug never enters).  Scratch and
-    DMA semaphores persist across sequential grid steps on TPU, which is
-    what lets a step wait on a copy its predecessor started."""
+    With ``kdma`` (round-5 VERDICT #2) the input is the UNPADDED
+    (B*C_in, D, H, W) tensor and each grid step's prefetched DMA carries
+    first/interior/last branches (static shapes under `pl.when`, the
+    conv3mxu pattern); the boundary halo plane is filled in-scratch by the
+    CONSUMING step after its wait — before the fused pre-affine, so the
+    numerics match the host-pad path bit-for-bit.  Without ``kdma`` the
+    input arrives depth-halo-padded HOST-side (D+2 planes, pad-mode
+    semantics applied by the wrapper) and every grid step issues ONE
+    fixed-shape DMA.  Either way the NEXT step's tile is prefetched while
+    the current tile computes.  The two buffer slots live along the plane
+    axis of one 4D scratch ((cin, 2*(td+2), h, w)): slot parity follows
+    the flattened grid index, and all slot addressing is a single dynamic
+    `pl.ds` on the second-major dim (the 5D-ref dynamic-slice Mosaic bug
+    never enters).  Scratch and DMA semaphores persist across sequential
+    grid steps on TPU, which is what lets a step wait on a copy its
+    predecessor started."""
     bi = pl.program_id(0)
     i = pl.program_id(1)
     g = bi * nd + i
     total = pl.num_programs(0) * nd
     tp2 = td + 2
 
-    def get_dma(gg, slot):
+    def issue_dma(gg, slot, op):
+        """Start (op='start') or wait (op='wait') the x-tile copy for
+        flattened grid step ``gg`` into buffer ``slot``.  The wait
+        re-executes the same branch with an identical descriptor, which
+        on TPU blocks on the semaphore the start incremented."""
         bb = gg // nd
         ii = gg - bb * nd
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(bb * cin, cin), cin),
-                     pl.ds(ii * td, tp2), :, :],
-            x_tile.at[:, pl.ds(slot * tp2, tp2)],
-            sems.at[slot],
-        )
+        bc = pl.ds(pl.multiple_of(bb * cin, cin), cin)
+        if not kdma:
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds(ii * td, tp2), :, :],
+                x_tile.at[:, pl.ds(slot * tp2, tp2)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
+            return
+        if nd == 1:
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds(0, td), :, :],
+                x_tile.at[:, pl.ds(slot * tp2 + 1, td)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
+            return
+
+        @pl.when(ii == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds(0, td + 1), :, :],
+                x_tile.at[:, pl.ds(slot * tp2 + 1, td + 1)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
+
+        @pl.when(jnp.logical_and(ii > 0, ii < nd - 1))
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds(ii * td - 1, tp2), :, :],
+                x_tile.at[:, pl.ds(slot * tp2, tp2)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
+
+        @pl.when(ii == nd - 1)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds((nd - 1) * td - 1, td + 1), :, :],
+                x_tile.at[:, pl.ds(slot * tp2, td + 1)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
 
     slot = jax.lax.rem(g, 2)
     nslot = jax.lax.rem(g + 1, 2)
 
     @pl.when(g == 0)
     def _():
-        get_dma(g, slot).start()
+        issue_dma(g, slot, "start")
 
     @pl.when(g + 1 < total)
     def _():
-        get_dma(g + 1, nslot).start()
+        issue_dma(g + 1, nslot, "start")
 
     if has_residual:
         rdma = pltpu.make_async_copy(
@@ -315,8 +414,11 @@ def _conv3p_kernel_db(x_hbm, k_ref, aff_ref, r_hbm, o_ref, x_tile, r_tile,
         )
         rdma.start()
 
-    get_dma(g, slot).wait()
+    issue_dma(g, slot, "wait")
     soff = slot * tp2
+
+    if kdma:
+        _db_fill_halo(x_tile, soff, i, cin, td, nd, h, w, pad_mode)
 
     if pre_relu is not None:
         for ci in range(cin):
@@ -546,6 +648,7 @@ def conv3_planes_adjoint(
     interpret: bool | None = None,
     td_override: int | None = None,
     db: bool | None = None,
+    kdma: bool | None = None,
 ) -> jax.Array:
     """dL/dx of `conv3_planes` given dz = dL/d(pre-activation output).
 
@@ -556,18 +659,20 @@ def conv3_planes_adjoint(
         interpret = not on_tpu_default_device()
     if db is None:
         db = _db_enabled()
+    if kdma is None:
+        kdma = _kdma_enabled()
     return _conv3_planes_adjoint_jit(
         dz, kernel, pad_mode=pad_mode, interpret=interpret,
-        td_override=td_override, db=db,
+        td_override=td_override, db=db, kdma=kdma,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pad_mode", "interpret", "td_override", "db"),
+    static_argnames=("pad_mode", "interpret", "td_override", "db", "kdma"),
 )
 def _conv3_planes_adjoint_jit(
-    dz, kernel, *, pad_mode, interpret, td_override, db,
+    dz, kernel, *, pad_mode, interpret, td_override, db, kdma,
 ):
     b, cout, d, h, w = dz.shape
     cin = kernel.shape[3]
@@ -586,12 +691,14 @@ def _conv3_planes_adjoint_jit(
 
     dzf = dz.astype(jnp.float32).reshape(b * cout, d, h, w)
     if db:
-        # Adjoint D halo is zero for both pad modes (the edge-pad boundary
-        # terms are explicit epilogue adds).
-        dzf = jnp.pad(dzf, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        if not kdma:
+            # Adjoint D halo is zero for both pad modes (the edge-pad
+            # boundary terms are explicit epilogue adds); kdma fills the
+            # zero halo in-scratch instead of this host-side copy.
+            dzf = jnp.pad(dzf, ((0, 0), (1, 1), (0, 0), (0, 0)))
         kern = functools.partial(
             _conv3p_adj_kernel_db, cin=cin, cout=cout, td=td, nd=nd, h=h,
-            w=w, wl=wl, pad_mode=pad_mode,
+            w=w, wl=wl, pad_mode=pad_mode, kdma=kdma,
         )
         g_scratch = pltpu.VMEM((cout, 2 * (td + 2), h, w), jnp.float32)
         sems = [pltpu.SemaphoreType.DMA((2,))]
@@ -630,40 +737,85 @@ def _conv3_planes_adjoint_jit(
 
 
 def _conv3p_adj_kernel_db(g_hbm, k_ref, o_ref, g_tile, sems, *, cin, cout,
-                          td, nd, h, w, wl, pad_mode):
-    """Double-buffered `_conv3p_adj_kernel`: dz arrives ZERO-halo-padded
-    host-side (the adjoint's D halo is zero for both pad modes), one
-    fixed-shape prefetchable DMA per grid step — same two-slot plane-axis
-    scheme as `_conv3p_kernel_db`."""
+                          td, nd, h, w, wl, pad_mode, kdma):
+    """Double-buffered `_conv3p_adj_kernel`: the adjoint's D halo is ZERO
+    for both pad modes (the edge-pad boundary terms are explicit epilogue
+    adds).  With ``kdma`` the unpadded dz is read via first/interior/last
+    DMA branches and the zero halo plane is filled in-scratch; otherwise
+    dz arrives zero-padded host-side and each grid step issues one
+    fixed-shape DMA.  Same two-slot plane-axis prefetch scheme as
+    `_conv3p_kernel_db`."""
     bi = pl.program_id(0)
     i = pl.program_id(1)
     g = bi * nd + i
     total = pl.num_programs(0) * nd
     tp2 = td + 2
 
-    def get_dma(gg, slot):
+    def issue_dma(gg, slot, op):
         bb = gg // nd
         ii = gg - bb * nd
-        return pltpu.make_async_copy(
-            g_hbm.at[pl.ds(pl.multiple_of(bb * cout, cout), cout),
-                     pl.ds(ii * td, tp2), :, :],
-            g_tile.at[:, pl.ds(slot * tp2, tp2)],
-            sems.at[slot],
-        )
+        bc = pl.ds(pl.multiple_of(bb * cout, cout), cout)
+        if not kdma:
+            dma = pltpu.make_async_copy(
+                g_hbm.at[bc, pl.ds(ii * td, tp2), :, :],
+                g_tile.at[:, pl.ds(slot * tp2, tp2)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
+            return
+        if nd == 1:
+            dma = pltpu.make_async_copy(
+                g_hbm.at[bc, pl.ds(0, td), :, :],
+                g_tile.at[:, pl.ds(slot * tp2 + 1, td)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
+            return
+
+        @pl.when(ii == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                g_hbm.at[bc, pl.ds(0, td + 1), :, :],
+                g_tile.at[:, pl.ds(slot * tp2 + 1, td + 1)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
+
+        @pl.when(jnp.logical_and(ii > 0, ii < nd - 1))
+        def _():
+            dma = pltpu.make_async_copy(
+                g_hbm.at[bc, pl.ds(ii * td - 1, tp2), :, :],
+                g_tile.at[:, pl.ds(slot * tp2, tp2)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
+
+        @pl.when(ii == nd - 1)
+        def _():
+            dma = pltpu.make_async_copy(
+                g_hbm.at[bc, pl.ds((nd - 1) * td - 1, td + 1), :, :],
+                g_tile.at[:, pl.ds(slot * tp2, td + 1)],
+                sems.at[slot],
+            )
+            getattr(dma, op)()
 
     slot = jax.lax.rem(g, 2)
     nslot = jax.lax.rem(g + 1, 2)
 
     @pl.when(g == 0)
     def _():
-        get_dma(g, slot).start()
+        issue_dma(g, slot, "start")
 
     @pl.when(g + 1 < total)
     def _():
-        get_dma(g + 1, nslot).start()
+        issue_dma(g + 1, nslot, "start")
 
-    get_dma(g, slot).wait()
+    issue_dma(g, slot, "wait")
     soff = slot * tp2
+
+    if kdma:
+        # Adjoint halo is zero for BOTH pad modes.
+        _db_fill_halo(g_tile, soff, i, cout, td, nd, h, w, "zero")
 
     masks = _make_masks(h, w, wl, pad_mode)
 
@@ -714,10 +866,12 @@ def _conv3p_adj_kernel_db(g_hbm, k_ref, o_ref, g_tile, sems, *, cin, cout,
 
 def _conv3p_wgrad_kernel_db(x_hbm, z_hbm, o_ref, x_tile, z_tile, sems_x,
                             sems_z, *, cin, cout, td, nd, h, w, wl, pad_mode,
-                            has_bias):
-    """Double-buffered `_conv3p_wgrad_kernel`: x arrives depth-halo-padded
-    host-side; both the x and dz tiles of the NEXT grid step are prefetched
-    while the current step accumulates."""
+                            has_bias, kdma):
+    """Double-buffered `_conv3p_wgrad_kernel`: both the x and dz tiles of
+    the NEXT grid step are prefetched while the current step accumulates.
+    With ``kdma`` the x halo rides first/interior/last DMA branches on the
+    unpadded tensor (fill in-scratch); otherwise x arrives depth-halo-
+    padded host-side."""
     bi = pl.program_id(0)
     i = pl.program_id(1)
     g = bi * nd + i
@@ -725,44 +879,86 @@ def _conv3p_wgrad_kernel_db(x_hbm, z_hbm, o_ref, x_tile, z_tile, sems_x,
     tp2 = td + 2
     ncc = cin * cout
 
-    def get_xdma(gg, slot):
+    def issue_xdma(gg, slot, op):
         bb = gg // nd
         ii = gg - bb * nd
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(bb * cin, cin), cin),
-                     pl.ds(ii * td, tp2), :, :],
-            x_tile.at[:, pl.ds(slot * tp2, tp2)],
-            sems_x.at[slot],
-        )
+        bc = pl.ds(pl.multiple_of(bb * cin, cin), cin)
+        if not kdma:
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds(ii * td, tp2), :, :],
+                x_tile.at[:, pl.ds(slot * tp2, tp2)],
+                sems_x.at[slot],
+            )
+            getattr(dma, op)()
+            return
+        if nd == 1:
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds(0, td), :, :],
+                x_tile.at[:, pl.ds(slot * tp2 + 1, td)],
+                sems_x.at[slot],
+            )
+            getattr(dma, op)()
+            return
 
-    def get_zdma(gg, slot):
+        @pl.when(ii == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds(0, td + 1), :, :],
+                x_tile.at[:, pl.ds(slot * tp2 + 1, td + 1)],
+                sems_x.at[slot],
+            )
+            getattr(dma, op)()
+
+        @pl.when(jnp.logical_and(ii > 0, ii < nd - 1))
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds(ii * td - 1, tp2), :, :],
+                x_tile.at[:, pl.ds(slot * tp2, tp2)],
+                sems_x.at[slot],
+            )
+            getattr(dma, op)()
+
+        @pl.when(ii == nd - 1)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bc, pl.ds((nd - 1) * td - 1, td + 1), :, :],
+                x_tile.at[:, pl.ds(slot * tp2, td + 1)],
+                sems_x.at[slot],
+            )
+            getattr(dma, op)()
+
+    def issue_zdma(gg, slot, op):
         bb = gg // nd
         ii = gg - bb * nd
-        return pltpu.make_async_copy(
+        dma = pltpu.make_async_copy(
             z_hbm.at[pl.ds(pl.multiple_of(bb * cout, cout), cout),
                      pl.ds(ii * td, td), :, :],
             z_tile.at[:, pl.ds(slot * td, td)],
             sems_z.at[slot],
         )
+        getattr(dma, op)()
 
     slot = jax.lax.rem(g, 2)
     nslot = jax.lax.rem(g + 1, 2)
 
     @pl.when(g == 0)
     def _():
-        get_xdma(g, slot).start()
-        get_zdma(g, slot).start()
+        issue_xdma(g, slot, "start")
+        issue_zdma(g, slot, "start")
         o_ref[...] = jnp.zeros(o_ref.shape, jnp.float32)
 
     @pl.when(g + 1 < total)
     def _():
-        get_xdma(g + 1, nslot).start()
-        get_zdma(g + 1, nslot).start()
+        issue_xdma(g + 1, nslot, "start")
+        issue_zdma(g + 1, nslot, "start")
 
-    get_xdma(g, slot).wait()
-    get_zdma(g, slot).wait()
+    issue_xdma(g, slot, "wait")
+    issue_zdma(g, slot, "wait")
     soff = slot * tp2
     zoff = slot * td
+
+    if kdma:
+        _db_fill_halo(x_tile, soff, i, cin, td, nd, h, w, pad_mode)
 
     masks = _make_masks(h, w, wl, pad_mode)
 
@@ -912,6 +1108,7 @@ def conv3_planes_wgrad(
     interpret: bool | None = None,
     td_override: int | None = None,
     db: bool | None = None,
+    kdma: bool | None = None,
 ):
     """dL/dkernel (and dL/dbias) of `conv3_planes` on the VPU.
 
@@ -925,19 +1122,21 @@ def conv3_planes_wgrad(
         interpret = not on_tpu_default_device()
     if db is None:
         db = _db_enabled()
+    if kdma is None:
+        kdma = _kdma_enabled()
     return _conv3_planes_wgrad_jit(
         x, dz, pad_mode=pad_mode, has_bias=has_bias, interpret=interpret,
-        td_override=td_override, db=db,
+        td_override=td_override, db=db, kdma=kdma,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("pad_mode", "has_bias", "interpret", "td_override",
-                     "db"),
+                     "db", "kdma"),
 )
 def _conv3_planes_wgrad_jit(
-    x, dz, *, pad_mode, has_bias, interpret, td_override, db,
+    x, dz, *, pad_mode, has_bias, interpret, td_override, db, kdma,
 ):
     b, cin, d, h, w = x.shape
     cout = dz.shape[1]
@@ -964,11 +1163,12 @@ def _conv3_planes_wgrad_jit(
     xf = x.astype(jnp.float32).reshape(b * cin, d, h, w)
     zf = dz.astype(jnp.float32).reshape(b * cout, d, h, w)
     if db:
-        mode = "edge" if pad_mode == "edge" else "constant"
-        xf = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)), mode=mode)
+        if not kdma:
+            mode = "edge" if pad_mode == "edge" else "constant"
+            xf = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)), mode=mode)
         kern = functools.partial(
             _conv3p_wgrad_kernel_db, cin=cin, cout=cout, td=td, nd=nd, h=h,
-            w=w, wl=wl, pad_mode=pad_mode, has_bias=has_bias,
+            w=w, wl=wl, pad_mode=pad_mode, has_bias=has_bias, kdma=kdma,
         )
         scratches = [
             pltpu.VMEM((cin, 2 * (td + 2), h, w), jnp.float32),
@@ -1130,6 +1330,8 @@ def conv3_planes(
     pre_relu: bool | None = None,
     interpret: bool | None = None,
     db: bool | None = None,
+    kdma: bool | None = None,
+    td_override: int | None = None,
 ) -> jax.Array:
     """SAME 3^3 stride-1 conv on (B, C_in, D, H, W) volumes.
 
@@ -1150,19 +1352,23 @@ def conv3_planes(
         interpret = not on_tpu_default_device()
     if db is None:
         db = _db_enabled()
+    if kdma is None:
+        kdma = _kdma_enabled()
     return _conv3_planes_jit(
         x, kernel, bias, residual, pre_scale, pre_shift, act=act,
         pad_mode=pad_mode, pre_relu=pre_relu, interpret=interpret, db=db,
+        kdma=kdma, td_override=td_override,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "pad_mode", "pre_relu", "interpret", "db"),
+    static_argnames=("act", "pad_mode", "pre_relu", "interpret", "db",
+                     "kdma", "td_override"),
 )
 def _conv3_planes_jit(
     x, kernel, bias, residual, pre_scale, pre_shift, *, act, pad_mode,
-    pre_relu, interpret, db,
+    pre_relu, interpret, db, kdma, td_override,
 ):
     b, cin, d, h, w = x.shape
     cout = kernel.shape[-1]
@@ -1185,8 +1391,9 @@ def _conv3_planes_jit(
     # db doubles the input scratch; give it a matching budget so the depth
     # tile does NOT shrink (a halved td was measured to cost more than the
     # prefetch won: smaller DMAs + twice the per-step scalar work).
-    td = _pick_td(d, h, w, cin, cout,
-                  budget=(20 if db else 10) * 1024 * 1024, db=db)
+    td = td_override or _pick_td(d, h, w, cin, cout,
+                                 budget=(20 if db else 10) * 1024 * 1024,
+                                 db=db)
     nd = d // td
 
     # kernel rows 0..27*cin-1, bias in row 27*cin
@@ -1212,15 +1419,18 @@ def _conv3_planes_jit(
 
     xf = x.astype(jnp.float32).reshape(b * cin, d, h, w)
     if db:
-        # Depth halo applied host-side (one cheap XLA pad: ~0.2 ms of HBM
-        # traffic at 128^3 c8) so the kernel's DMA is branch-free and
-        # prefetchable.
-        mode = "edge" if pad_mode == "edge" else "constant"
-        xf = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)), mode=mode)
+        if not kdma:
+            # Depth halo applied host-side (a full write+read of the
+            # activation per call — the round-4 UNet-grad profile's halo
+            # slice pairs) so the kernel's DMA is branch-free; kdma mode
+            # (default) absorbs the halo into the kernel's DMA branches
+            # instead (round-5 VERDICT #2).
+            mode = "edge" if pad_mode == "edge" else "constant"
+            xf = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)), mode=mode)
         kern = functools.partial(
             _conv3p_kernel_db, cin=cin, cout=cout, td=td, nd=nd, h=h, w=w,
             wl=wl, act=act, pad_mode=pad_mode, has_residual=has_residual,
-            pre_relu=pre_relu,
+            pre_relu=pre_relu, kdma=kdma,
         )
         x_scratch = pltpu.VMEM((cin, 2 * (td + 2), h, w), jnp.float32)
         sems = [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA]
